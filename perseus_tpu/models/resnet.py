@@ -1,0 +1,323 @@
+"""ResNet-18 keypoint regressor, TPU-first functional JAX implementation.
+
+Re-implements the capability of the reference's KeypointCNN (reference:
+perseus/detector/models.py:6-40): a torchvision-semantics ResNet-18 with
+  * the first conv swapped for ``num_channels != 3`` inputs (RGBD uses 4),
+  * the classifier head replaced by a ``2 * n_keypoints`` regression layer,
+  * global average pooling.
+
+Design (TPU-first, not a port):
+  * Functional: parameters and BatchNorm statistics are plain flat dicts
+    keyed by torchvision state_dict names (``conv1.weight`` etc.), so the
+    torch checkpoint converter (models/convert.py) is a pure relabeling and
+    the pytrees shard/replicate trivially under pjit.
+  * NHWC activations and HWIO conv kernels — the layouts XLA:TPU tiles onto
+    the MXU without transposes.
+  * A separate folded-inference path: BatchNorm is algebraically folded into
+    conv scale/bias once, then the whole forward is conv->bias->relu chains
+    that XLA fuses; used by the streaming/eval paths and the benchmark.
+  * Matmul/conv compute dtype is configurable (bf16 on TPU); parameters stay
+    f32.
+
+BatchNorm follows torch semantics exactly (eps=1e-5, momentum=0.1, biased
+batch variance for normalization, unbiased for the running-stat update) so a
+converted torch checkpoint reproduces the reference logits (differential test
+vs. a torch oracle in tests/test_resnet_parity.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "RESNET18_STAGES",
+    "init_keypoint_cnn",
+    "keypoint_cnn_apply",
+    "fold_batchnorm",
+    "keypoint_cnn_apply_folded",
+    "param_shapes",
+]
+
+# (num_blocks, channels) per stage; first block of stages 2-4 has stride 2.
+RESNET18_STAGES = ((2, 64), (2, 128), (2, 256), (2, 512))
+
+BN_EPS = 1e-5
+BN_MOMENTUM = 0.1
+
+
+# --------------------------------------------------------------------------
+# Initialization (matches torch's kaiming fan-out init for convs, which is
+# what torchvision uses; the head matches torch.nn.Linear default init).
+# --------------------------------------------------------------------------
+
+
+def _conv_init(key: jax.Array, h: int, w: int, c_in: int, c_out: int, dtype) -> jnp.ndarray:
+    fan_out = h * w * c_out
+    std = float(np.sqrt(2.0 / fan_out))
+    return std * jax.random.normal(key, (h, w, c_in, c_out), dtype=dtype)
+
+
+def _linear_init(key: jax.Array, c_in: int, c_out: int, dtype):
+    bound = float(1.0 / np.sqrt(c_in))
+    kw, kb = jax.random.split(key)
+    w = jax.random.uniform(kw, (c_in, c_out), dtype=dtype, minval=-bound, maxval=bound)
+    b = jax.random.uniform(kb, (c_out,), dtype=dtype, minval=-bound, maxval=bound)
+    return w, b
+
+
+def _bn_init(c: int, dtype):
+    return {
+        "weight": jnp.ones((c,), dtype=dtype),
+        "bias": jnp.zeros((c,), dtype=dtype),
+    }, {
+        "running_mean": jnp.zeros((c,), dtype=dtype),
+        "running_var": jnp.ones((c,), dtype=dtype),
+    }
+
+
+def init_keypoint_cnn(
+    key: jax.Array,
+    n_keypoints: int = 8,
+    num_channels: int = 3,
+    dtype=jnp.float32,
+) -> tuple[dict[str, jnp.ndarray], dict[str, jnp.ndarray]]:
+    """Returns (params, batch_stats) flat dicts keyed by torch names."""
+    params: dict[str, jnp.ndarray] = {}
+    stats: dict[str, jnp.ndarray] = {}
+    keys = iter(jax.random.split(key, 64))
+
+    params["conv1.weight"] = _conv_init(next(keys), 7, 7, num_channels, 64, dtype)
+    bn_p, bn_s = _bn_init(64, dtype)
+    params.update({f"bn1.{k}": v for k, v in bn_p.items()})
+    stats.update({f"bn1.{k}": v for k, v in bn_s.items()})
+
+    c_in = 64
+    for stage_idx, (num_blocks, c_out) in enumerate(RESNET18_STAGES):
+        for block_idx in range(num_blocks):
+            prefix = f"layer{stage_idx + 1}.{block_idx}"
+            downsample = block_idx == 0 and (stage_idx > 0)
+            params[f"{prefix}.conv1.weight"] = _conv_init(next(keys), 3, 3, c_in, c_out, dtype)
+            bn_p, bn_s = _bn_init(c_out, dtype)
+            params.update({f"{prefix}.bn1.{k}": v for k, v in bn_p.items()})
+            stats.update({f"{prefix}.bn1.{k}": v for k, v in bn_s.items()})
+            params[f"{prefix}.conv2.weight"] = _conv_init(next(keys), 3, 3, c_out, c_out, dtype)
+            bn_p, bn_s = _bn_init(c_out, dtype)
+            params.update({f"{prefix}.bn2.{k}": v for k, v in bn_p.items()})
+            stats.update({f"{prefix}.bn2.{k}": v for k, v in bn_s.items()})
+            if downsample:
+                params[f"{prefix}.downsample.0.weight"] = _conv_init(
+                    next(keys), 1, 1, c_in, c_out, dtype
+                )
+                bn_p, bn_s = _bn_init(c_out, dtype)
+                params.update({f"{prefix}.downsample.1.{k}": v for k, v in bn_p.items()})
+                stats.update({f"{prefix}.downsample.1.{k}": v for k, v in bn_s.items()})
+            c_in = c_out
+
+    w, b = _linear_init(next(keys), 512, 2 * n_keypoints, dtype)
+    params["fc.weight"] = w  # stored (in, out); converter transposes torch's (out, in)
+    params["fc.bias"] = b
+    return params, stats
+
+
+# --------------------------------------------------------------------------
+# Forward pass
+# --------------------------------------------------------------------------
+
+
+def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int, padding: int, compute_dtype) -> jnp.ndarray:
+    return jax.lax.conv_general_dilated(
+        x.astype(compute_dtype),
+        w.astype(compute_dtype),
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _batchnorm(
+    x: jnp.ndarray,
+    params: dict,
+    stats: dict,
+    prefix: str,
+    train: bool,
+    new_stats: dict | None,
+):
+    gamma = params[f"{prefix}.weight"]
+    beta = params[f"{prefix}.bias"]
+    if train:
+        # torch: normalize with biased batch stats; update running stats with
+        # the unbiased variance.
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.var(xf, axis=(0, 1, 2))
+        if new_stats is not None:
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased = var * (n / max(n - 1, 1))
+            m = BN_MOMENTUM
+            new_stats[f"{prefix}.running_mean"] = (
+                (1 - m) * stats[f"{prefix}.running_mean"] + m * mean
+            )
+            new_stats[f"{prefix}.running_var"] = (
+                (1 - m) * stats[f"{prefix}.running_var"] + m * unbiased
+            )
+    else:
+        mean = stats[f"{prefix}.running_mean"]
+        var = stats[f"{prefix}.running_var"]
+    scale = gamma * jax.lax.rsqrt(var + BN_EPS)
+    shift = beta - mean * scale
+    return (x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+
+
+def _basic_block(
+    x: jnp.ndarray,
+    params: dict,
+    stats: dict,
+    prefix: str,
+    stride: int,
+    train: bool,
+    new_stats: dict | None,
+    compute_dtype,
+) -> jnp.ndarray:
+    identity = x
+    out = _conv(x, params[f"{prefix}.conv1.weight"], stride, 1, compute_dtype)
+    out = _batchnorm(out, params, stats, f"{prefix}.bn1", train, new_stats)
+    out = jax.nn.relu(out)
+    out = _conv(out, params[f"{prefix}.conv2.weight"], 1, 1, compute_dtype)
+    out = _batchnorm(out, params, stats, f"{prefix}.bn2", train, new_stats)
+    if f"{prefix}.downsample.0.weight" in params:
+        identity = _conv(x, params[f"{prefix}.downsample.0.weight"], stride, 0, compute_dtype)
+        identity = _batchnorm(identity, params, stats, f"{prefix}.downsample.1", train, new_stats)
+    return jax.nn.relu(out + identity)
+
+
+def _max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """torch MaxPool2d(kernel=3, stride=2, padding=1): pads with -inf."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf if x.dtype in (jnp.float32, jnp.float64) else jnp.finfo(x.dtype).min,
+        jax.lax.max,
+        window_dimensions=(1, 3, 3, 1),
+        window_strides=(1, 2, 2, 1),
+        padding=((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
+def keypoint_cnn_apply(
+    params: dict[str, jnp.ndarray],
+    stats: dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    train: bool = False,
+    compute_dtype: Any = jnp.float32,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    """Forward pass.
+
+    Args:
+        params/stats: flat dicts from :func:`init_keypoint_cnn` or the
+            checkpoint converter.
+        x: images, NHWC, (B, H, W, C), float.
+        train: batch-stats BN + running-stat updates when True.
+        compute_dtype: conv/matmul dtype (bf16 on TPU; params remain f32).
+
+    Returns:
+        (outputs (B, 2*n_keypoints) float32, updated batch_stats).
+    """
+    new_stats = dict(stats) if train else None
+    out = _conv(x, params["conv1.weight"], 2, 3, compute_dtype)
+    out = _batchnorm(out, params, stats, "bn1", train, new_stats)
+    out = jax.nn.relu(out)
+    out = _max_pool_3x3_s2(out)
+
+    for stage_idx, (num_blocks, _) in enumerate(RESNET18_STAGES):
+        for block_idx in range(num_blocks):
+            stride = 2 if (stage_idx > 0 and block_idx == 0) else 1
+            out = _basic_block(
+                out,
+                params,
+                stats,
+                f"layer{stage_idx + 1}.{block_idx}",
+                stride,
+                train,
+                new_stats,
+                compute_dtype,
+            )
+
+    pooled = jnp.mean(out.astype(jnp.float32), axis=(1, 2))  # global average pool
+    logits = pooled @ params["fc.weight"].astype(jnp.float32) + params["fc.bias"]
+    return logits.astype(jnp.float32), (new_stats if train else stats)
+
+
+# --------------------------------------------------------------------------
+# Folded inference path
+# --------------------------------------------------------------------------
+
+
+def fold_batchnorm(
+    params: dict[str, jnp.ndarray], stats: dict[str, jnp.ndarray]
+) -> dict[str, jnp.ndarray]:
+    """Folds every (conv, bn) pair into (scaled conv kernel, bias).
+
+    Output dict maps ``<conv>.weight`` -> folded HWIO kernel and
+    ``<conv>.bias`` -> folded bias, plus the fc head unchanged. Inference
+    then runs without any normalization work — the TPU-native equivalent of
+    eval-mode BN, with one less elementwise pass over activations.
+    """
+    folded: dict[str, jnp.ndarray] = {}
+
+    def fold(conv_name: str, bn_name: str):
+        w = params[f"{conv_name}.weight"]
+        gamma = params[f"{bn_name}.weight"]
+        beta = params[f"{bn_name}.bias"]
+        mean = stats[f"{bn_name}.running_mean"]
+        var = stats[f"{bn_name}.running_var"]
+        scale = gamma / jnp.sqrt(var + BN_EPS)
+        folded[f"{conv_name}.weight"] = w * scale[None, None, None, :]
+        folded[f"{conv_name}.bias"] = beta - mean * scale
+
+    fold("conv1", "bn1")
+    for stage_idx, (num_blocks, _) in enumerate(RESNET18_STAGES):
+        for block_idx in range(num_blocks):
+            prefix = f"layer{stage_idx + 1}.{block_idx}"
+            fold(f"{prefix}.conv1", f"{prefix}.bn1")
+            fold(f"{prefix}.conv2", f"{prefix}.bn2")
+            if f"{prefix}.downsample.0.weight" in params:
+                fold(f"{prefix}.downsample.0", f"{prefix}.downsample.1")
+    folded["fc.weight"] = params["fc.weight"]
+    folded["fc.bias"] = params["fc.bias"]
+    return folded
+
+
+def keypoint_cnn_apply_folded(
+    folded: dict[str, jnp.ndarray],
+    x: jnp.ndarray,
+    compute_dtype: Any = jnp.bfloat16,
+) -> jnp.ndarray:
+    """Inference with BN pre-folded: pure conv+bias+relu chains. NHWC in,
+    (B, 2*n_keypoints) float32 out."""
+
+    def conv_bias(h, name, stride, padding):
+        out = _conv(h, folded[f"{name}.weight"], stride, padding, compute_dtype)
+        return out + folded[f"{name}.bias"].astype(out.dtype)
+
+    out = jax.nn.relu(conv_bias(x, "conv1", 2, 3))
+    out = _max_pool_3x3_s2(out)
+    for stage_idx, (num_blocks, _) in enumerate(RESNET18_STAGES):
+        for block_idx in range(num_blocks):
+            prefix = f"layer{stage_idx + 1}.{block_idx}"
+            stride = 2 if (stage_idx > 0 and block_idx == 0) else 1
+            identity = out
+            h = jax.nn.relu(conv_bias(out, f"{prefix}.conv1", stride, 1))
+            h = conv_bias(h, f"{prefix}.conv2", 1, 1)
+            if f"{prefix}.downsample.0.weight" in folded:
+                identity = conv_bias(out, f"{prefix}.downsample.0", stride, 0)
+            out = jax.nn.relu(h + identity)
+    pooled = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
+    logits = pooled @ folded["fc.weight"].astype(jnp.float32) + folded["fc.bias"]
+    return logits.astype(jnp.float32)
+
+
+def param_shapes(params: dict[str, jnp.ndarray]) -> dict[str, tuple]:
+    return {k: tuple(v.shape) for k, v in params.items()}

@@ -1,0 +1,20 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip sharding is validated on CPU via
+``--xla_force_host_platform_device_count`` (the reference has no multi-device
+tests at all; see SURVEY.md section 4). Environment variables must be set
+before jax initializes, hence at module import time here.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# Double precision for the math-oracle tests (production code sets dtypes
+# explicitly, so this only widens default-dtype test arrays).
+jax.config.update("jax_enable_x64", True)
