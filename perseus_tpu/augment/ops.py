@@ -271,7 +271,20 @@ def warp_affine_bilinear(images: jnp.ndarray, mats: jnp.ndarray) -> jnp.ndarray:
     """Warps NHWC images by forward affine matrices (B, 3, 3) with bilinear
     sampling and zero padding: out(x) = in(A^-1 x)."""
     b, h, w, _ = images.shape
-    inv = jnp.linalg.inv(mats)
+    # closed-form inverse of the affine (last row is [0, 0, 1]); avoids a
+    # general LU solve for a 2x2 block
+    a00, a01, t0 = mats[:, 0, 0], mats[:, 0, 1], mats[:, 0, 2]
+    a10, a11, t1 = mats[:, 1, 0], mats[:, 1, 1], mats[:, 1, 2]
+    det = a00 * a11 - a01 * a10
+    i00, i01 = a11 / det, -a01 / det
+    i10, i11 = -a10 / det, a00 / det
+    inv = jnp.stack(
+        [
+            jnp.stack([i00, i01, -(i00 * t0 + i01 * t1)], axis=-1),
+            jnp.stack([i10, i11, -(i10 * t0 + i11 * t1)], axis=-1),
+        ],
+        axis=-2,
+    )
 
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)

@@ -1,0 +1,174 @@
+"""Pruned keypoint dataset: lazy per-image loading + batched host pipeline.
+
+The capability equivalent of the reference's PrunedKeypointDataset
+(reference: perseus/detector/data.py:22-100): metadata (pixel coordinates,
+asset ids, weights, filenames) lives in RAM; images decode lazily from PNG /
+float-TIFF / segmentation-PNG files, with the segmentation binarized as
+``seg == asset_id + 1``.
+
+TPU-first differences from the torch DataLoader design:
+  * channels-last (H, W, C) numpy outputs, ready for NHWC device puts;
+  * a double-buffered background-thread batch iterator
+    (:class:`PrefetchingLoader`) replaces torch's worker processes — decoded
+    batches stage into contiguous pinned-style numpy buffers and overlap
+    with device compute;
+  * optional in-RAM decoded cache (``cache=True``): at 256x256 the whole
+    2,500-video reference dataset is ~13 GB of float32 RGB, so hosts with
+    RAM can skip per-epoch decode entirely — this is the path that keeps a
+    TPU chip fed at training batch sizes (the reference's known bottleneck,
+    SURVEY.md section 7 "host data path").
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from dataclasses import dataclass
+
+import numpy as np
+
+from perseus_tpu import ROOT
+from perseus_tpu.data import schema
+
+__all__ = ["KeypointDatasetConfig", "PrunedKeypointDataset", "PrefetchingLoader"]
+
+
+@dataclass(frozen=True)
+class KeypointDatasetConfig:
+    """Configuration for the keypoint dataset (same surface as the
+    reference's KeypointDatasetConfig; perseus/detector/data.py:14-19)."""
+
+    dataset_path: str = "data/pruned_dataset/pruned.hdf5"
+    lazy: bool = True
+
+
+class PrunedKeypointDataset:
+    """Flat per-image dataset over the pruned HDF5 layout."""
+
+    def __init__(self, cfg: KeypointDatasetConfig, train: bool = True, cache: bool = False):
+        self.cfg = cfg
+        self.train = train
+
+        dataset_path = cfg.dataset_path
+        if not dataset_path.startswith("/"):
+            dataset_path = os.path.join(ROOT, dataset_path)
+        self.dataset_path = dataset_path
+        self.data_root = os.path.join(os.path.dirname(os.path.dirname(dataset_path)))
+
+        self.split, attrs = schema.read_pruned_split(dataset_path, train=train)
+        self.H = int(attrs["H"])
+        self.W = int(attrs["W"])
+        self.num_keypoints = int(attrs.get("num_keypoints", 8))
+        self.pixel_coordinates = self.split.pixel_coordinates
+        self.asset_ids = self.split.asset_ids
+        self.weights = self.split.weights
+
+        self._cache: list[dict] | None = None
+        if cache:
+            self._cache = [self._load(i) for i in range(len(self))]
+
+    def __len__(self) -> int:
+        return len(self.split)
+
+    def _resolve(self, local_name: str) -> str:
+        # stored filenames are relative to <repo>/data (reference:
+        # perseus/detector/data.py:74-76)
+        return os.path.join(self.data_root, local_name)
+
+    def _load(self, idx: int) -> dict:
+        image = schema.load_rgb_png(self._resolve(self.split.image_filenames[idx]))
+        depth = schema.load_depth_tiff(self._resolve(self.split.depth_filenames[idx]))
+        seg_raw = schema.load_segmentation_png(
+            self._resolve(self.split.segmentation_filenames[idx])
+        )
+        asset_id = self.asset_ids[idx]
+        segmentation = (seg_raw == asset_id + 1).astype(np.float32)
+        return {
+            "image": image,  # (H, W, 3) float32 [0, 1]
+            "depth_image": depth.astype(np.float32),  # (H, W)
+            "segmentation_image": segmentation,  # (H, W) {0, 1}
+            "pixel_coordinates": self.pixel_coordinates[idx],  # (K, 2)
+        }
+
+    def __getitem__(self, idx: int) -> dict:
+        if self._cache is not None:
+            return self._cache[idx]
+        return self._load(idx)
+
+    def batch(self, indices: np.ndarray) -> dict:
+        """Stacks examples into contiguous (B, ...) arrays."""
+        items = [self[int(i)] for i in indices]
+        return {k: np.stack([it[k] for it in items]) for k in items[0]}
+
+
+class PrefetchingLoader:
+    """Background-thread batch loader with a bounded prefetch queue.
+
+    Epoch order is a deterministic permutation of (seed, epoch) — the
+    functional replacement for torch's DistributedSampler.set_epoch
+    reshuffle (reference: perseus/detector/train.py:246-247). For
+    multi-host training, pass (shard_index, num_shards) to iterate this
+    host's contiguous shard of the global permutation.
+    """
+
+    def __init__(
+        self,
+        dataset: PrunedKeypointDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+        shard_index: int = 0,
+        num_shards: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.default_rng((self.seed, epoch)).permutation(n)
+        else:
+            order = np.arange(n)
+        # even per-shard split (pad by wrapping, like DistributedSampler)
+        per_shard = -(-n // self.num_shards)
+        padded = np.concatenate([order, order[: per_shard * self.num_shards - n]])
+        return padded[self.shard_index * per_shard : (self.shard_index + 1) * per_shard]
+
+    def num_batches(self) -> int:
+        n = len(self.epoch_indices(0))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch: int = 0):
+        """Yields prefetched batches for one epoch."""
+        order = self.epoch_indices(epoch)
+        nb = self.num_batches()
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            for b in range(nb):
+                if stop.is_set():
+                    return
+                idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                q.put(self.dataset.batch(idx))
+            q.put(None)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                yield item
+        finally:
+            stop.set()

@@ -129,12 +129,16 @@ def init_keypoint_cnn(
 
 
 def _conv(x: jnp.ndarray, w: jnp.ndarray, stride: int, padding: int, compute_dtype) -> jnp.ndarray:
+    # DEFAULT precision lowers f32 conv operands to bf16 on TPU; when the
+    # caller asks for f32 compute (parity/eval paths) force true f32 math.
+    precision = None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     return jax.lax.conv_general_dilated(
         x.astype(compute_dtype),
         w.astype(compute_dtype),
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=precision,
     )
 
 

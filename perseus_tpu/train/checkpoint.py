@@ -1,0 +1,61 @@
+"""Checkpointing: orbax for native state, converters for .pth interop.
+
+The reference saves bare ``state_dict()`` files with no optimizer state and
+no resume path (reference: perseus/detector/train.py:352-355; SURVEY.md
+section 5 "Checkpoint / resume"). Here:
+  * full train state (params, batch stats, optimizer state, epoch, LR
+    plateau state) checkpoints via orbax, enabling exact resume;
+  * `load_model` accepts either an orbax checkpoint dir or a reference
+    ``.pth`` (via the torch converter), so reference checkpoints drop in;
+  * `export_reference_pth` writes a reference-layout ``.pth`` so TPU-trained
+    weights load into the original torch stack.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+__all__ = ["save_train_state", "restore_train_state", "load_model", "export_reference_pth"]
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_train_state(directory: str, state: dict) -> None:
+    """Saves a pytree train state to ``directory`` (overwrites)."""
+    directory = os.path.abspath(directory)
+    state = jax.tree.map(np.asarray, state)
+    _checkpointer().save(directory, state, force=True)
+
+
+def restore_train_state(directory: str) -> dict:
+    return _checkpointer().restore(os.path.abspath(directory))
+
+
+def load_model(path: str) -> tuple[dict[str, Any], dict[str, Any]]:
+    """Loads (params, batch_stats) from an orbax dir or a reference .pth."""
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from perseus_tpu.models.convert import load_torch_checkpoint
+
+        return load_torch_checkpoint(path)
+    state = restore_train_state(path)
+    return state["params"], state["batch_stats"]
+
+
+def export_reference_pth(path: str, params: dict, batch_stats: dict) -> None:
+    """Writes a reference-format torch checkpoint (keys under ``resnet.``)."""
+    import torch
+
+    from perseus_tpu.models.convert import to_torch_state_dict
+
+    sd = to_torch_state_dict(
+        jax.tree.map(np.asarray, params), jax.tree.map(np.asarray, batch_stats)
+    )
+    torch.save({k: torch.from_numpy(np.asarray(v).copy()) for k, v in sd.items()}, path)

@@ -1,0 +1,300 @@
+"""Data-parallel detector training: one jitted step over an ICI mesh.
+
+The TPU-native re-design of the reference's DDP loop (reference:
+perseus/detector/train.py:87-359). Instead of process-per-GPU + NCCL
+all-reduce + host-side Kornia augmentation + AMP GradScaler:
+
+  * ONE jitted train step = augmentation pipeline -> ResNet fwd (bf16
+    matmuls) -> SmoothL1 -> grad -> global-norm clip -> AdamW, compiled once
+    and sharded with `jax.jit` over a 1-D ``data`` mesh. The gradient
+    all-reduce is inserted by XLA from the sharding annotations (replicated
+    params, batch-sharded data) and rides ICI.
+  * BatchNorm statistics are computed over the GLOBAL batch (XLA collectives)
+    rather than per-replica as DDP does — strictly more correct.
+  * No GradScaler: bf16 has f32-range exponents, so loss scaling is
+    unnecessary (params and the loss stay f32).
+  * Deterministic keyed RNG: the per-step augmentation key is
+    fold_in(run_key, global_step), so any batch is replayable.
+  * Validation loss is all-reduced across the mesh before driving the LR
+    plateau schedule (the reference stepped the scheduler on unreduced
+    per-rank val loss; SURVEY.md section 2.5 notes this divergence as a fix).
+  * Multi-host: `jax.distributed.initialize` + per-host loader shards
+    replace the TCP rendezvous / DistributedSampler machinery.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from perseus_tpu import ROOT
+from perseus_tpu.augment.pipeline import KeypointAugmentation
+from perseus_tpu.data.dataset import PrefetchingLoader, PrunedKeypointDataset
+from perseus_tpu.models import resnet
+from perseus_tpu.train import checkpoint as ckpt
+from perseus_tpu.train.config import TrainConfig
+from perseus_tpu.utils import logging as ptlog
+
+__all__ = ["TrainState", "PlateauScheduler", "make_train_step", "make_eval_step", "train", "smooth_l1_loss"]
+
+
+class TrainState(NamedTuple):
+    params: dict[str, jnp.ndarray]
+    batch_stats: dict[str, jnp.ndarray]
+    opt_state: Any
+
+
+class PlateauScheduler:
+    """torch ReduceLROnPlateau(min) semantics: rel threshold 1e-4, reduce by
+    `factor` after `patience` bad epochs, floor at `min_lr` (reference:
+    train.py:200)."""
+
+    def __init__(self, base_lr: float, patience: int = 5, factor: float = 0.25, min_lr: float = 1e-6):
+        self.lr = base_lr
+        self.patience = patience
+        self.factor = factor
+        self.min_lr = min_lr
+        self.best = float("inf")
+        self.num_bad = 0
+
+    def step(self, value: float) -> float:
+        if value < self.best * (1.0 - 1e-4):
+            self.best = value
+            self.num_bad = 0
+        else:
+            self.num_bad += 1
+            if self.num_bad > self.patience:
+                self.lr = max(self.lr * self.factor, self.min_lr)
+                self.num_bad = 0
+        return self.lr
+
+
+def smooth_l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """SmoothL1(beta=1.0) == Huber(delta=1.0), mean reduction (reference:
+    train.py:119)."""
+    return jnp.mean(optax.huber_loss(pred, target, delta=1.0))
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """clip(1.0) -> AdamW, with an injectable learning rate so the plateau
+    schedule changes LR without recompiling the step."""
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.inject_hyperparams(optax.adamw)(learning_rate=cfg.learning_rate),
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    inner = opt_state[1]  # inject_hyperparams state of the adamw stage
+    new_inner = inner._replace(hyperparams={**inner.hyperparams, "learning_rate": jnp.asarray(lr, dtype=jnp.float32)})
+    return (opt_state[0], new_inner)
+
+
+def _prepare_aug_batch(batch: dict, in_channels: int, use_transplant: bool) -> np.ndarray:
+    """Stacks RGB(+depth)(+seg) into the (B, H, W, C) augmentation input on
+    the host, mirroring the reference's channel assembly (train.py:262-284).
+    (The reference crashes for in_channels=3 + transplantation because its
+    depth tensor is undefined on that path; here depth is always available.)
+    """
+    parts = [batch["image"]]
+    if in_channels >= 4:
+        parts.append(batch["depth_image"][..., None])
+    if use_transplant and in_channels < 5:
+        if in_channels == 3:
+            parts.append(batch["depth_image"][..., None])
+        parts.append(batch["segmentation_image"][..., None])
+    return np.concatenate(parts, axis=-1, dtype=np.float32)
+
+
+def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation, train_augment: KeypointAugmentation):
+    compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+
+    def step(state: TrainState, images_aug: jnp.ndarray, coords: jnp.ndarray, key: jax.Array):
+        images, target = train_augment(key, images_aug, coords)
+        images = images[..., : cfg.in_channels]
+        target = target.reshape(target.shape[0], -1)
+
+        def loss_fn(params):
+            pred, new_stats = resnet.keypoint_cnn_apply(
+                params, state.batch_stats, images, train=True, compute_dtype=compute_dtype
+            )
+            return smooth_l1_loss(pred, target), new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_stats, new_opt_state), loss
+
+    return step
+
+
+def make_eval_step(cfg: TrainConfig, val_augment: KeypointAugmentation):
+    compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+
+    def step(state: TrainState, images: jnp.ndarray, coords: jnp.ndarray):
+        key = jax.random.key(0)  # val augs are deterministic
+        images, target = val_augment(key, images, coords)
+        images = images[..., : cfg.in_channels]
+        target = target.reshape(target.shape[0], -1)
+        pred, _ = resnet.keypoint_cnn_apply(
+            state.params, state.batch_stats, images, train=False, compute_dtype=compute_dtype
+        )
+        return smooth_l1_loss(pred, target)
+
+    return step
+
+
+def make_mesh(data_parallel: bool = True):
+    n = len(jax.devices()) if data_parallel else 1
+    return jax.make_mesh((n,), ("data",))
+
+
+def shard_batch(batch: dict, mesh) -> dict:
+    """Device-puts host arrays with the batch axis sharded over `data`."""
+    out = {}
+    for k, v in batch.items():
+        spec = P("data", *([None] * (v.ndim - 1)))
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
+def init_state(cfg: TrainConfig, optimizer: optax.GradientTransformation, mesh) -> TrainState:
+    if cfg.init_checkpoint:
+        params, stats = ckpt.load_model(cfg.init_checkpoint)
+        params = jax.tree.map(jnp.asarray, params)
+        stats = jax.tree.map(jnp.asarray, stats)
+    else:
+        params, stats = resnet.init_keypoint_cnn(
+            jax.random.key(cfg.random_seed), cfg.n_keypoints, cfg.in_channels
+        )
+    opt_state = optimizer.init(params)
+    replicated = NamedSharding(mesh, P())
+    return TrainState(
+        params=jax.device_put(params, replicated),
+        batch_stats=jax.device_put(stats, replicated),
+        opt_state=jax.device_put(opt_state, replicated),
+    )
+
+
+def train(cfg: TrainConfig) -> dict:
+    """Runs the full training loop; returns summary metrics."""
+    np.random.seed(cfg.random_seed)
+
+    train_dataset = PrunedKeypointDataset(cfg.dataset_config, train=True, cache=cfg.cache_dataset)
+    val_dataset = PrunedKeypointDataset(cfg.dataset_config, train=False, cache=cfg.cache_dataset)
+
+    # multi-host: each process loads its shard of the global permutation
+    shard_index, num_shards = jax.process_index(), jax.process_count()
+    per_host_batch = cfg.batch_size // num_shards
+    train_loader = PrefetchingLoader(
+        train_dataset, per_host_batch, shuffle=True, seed=cfg.random_seed,
+        shard_index=shard_index, num_shards=num_shards,
+    )
+    val_loader = PrefetchingLoader(
+        val_dataset, per_host_batch, shuffle=False, drop_last=False,
+        shard_index=shard_index, num_shards=num_shards,
+    )
+
+    mesh = make_mesh(cfg.multigpu)
+    optimizer = make_optimizer(cfg)
+    state = init_state(cfg, optimizer, mesh)
+
+    train_augment = KeypointAugmentation(cfg.augmentation_config, train=True)
+    val_augment = KeypointAugmentation(cfg.augmentation_config, train=False)
+    use_transplant = cfg.augmentation_config.random_transplantation_with_depth
+
+    replicated = NamedSharding(mesh, P())
+    data_sharded = NamedSharding(mesh, P("data"))
+    train_step = jax.jit(
+        make_train_step(cfg, optimizer, train_augment),
+        in_shardings=(replicated, data_sharded, data_sharded, None),
+        out_shardings=(replicated, replicated),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(
+        make_eval_step(cfg, val_augment),
+        in_shardings=(replicated, data_sharded, data_sharded),
+        out_shardings=replicated,
+    )
+
+    run_id = ptlog.generate_id()
+    run = ptlog.init(cfg.wandb_project, config=cfg, run_id=run_id) if jax.process_index() == 0 else None
+    scheduler = PlateauScheduler(
+        cfg.learning_rate, cfg.plateau_patience, cfg.plateau_factor, cfg.min_learning_rate
+    )
+    run_key = jax.random.key(cfg.random_seed)
+
+    global_step = 0
+    last_val_loss = float("nan")
+    for epoch in range(cfg.n_epochs):
+        epoch_losses = []
+        t0 = time.time()
+        for batch in train_loader.epoch(epoch):
+            images_aug = _prepare_aug_batch(batch, cfg.in_channels, use_transplant)
+            sharded = shard_batch(
+                {"images": np.asarray(images_aug), "coords": batch["pixel_coordinates"]}, mesh
+            )
+            key = jax.random.fold_in(run_key, global_step)
+            state, loss = train_step(state, sharded["images"], sharded["coords"], key)
+            loss_val = float(loss)
+            epoch_losses.append(loss_val)
+            if run is not None:
+                run.log({"loss": loss_val})
+            global_step += 1
+        epoch_time = time.time() - t0
+
+        if epoch % cfg.print_epochs == 0 and jax.process_index() == 0:
+            print(f"[epoch {epoch}] avg loss {np.mean(epoch_losses):.5f} ({epoch_time:.1f}s)")
+
+        if epoch % cfg.val_epochs == 0:
+            val_losses = []
+            for batch in val_loader.epoch(0):
+                images = _prepare_aug_batch(batch, cfg.in_channels, use_transplant=False)
+                sharded = shard_batch(
+                    {"images": np.asarray(images), "coords": batch["pixel_coordinates"]}, mesh
+                )
+                val_losses.append(float(eval_step(state, sharded["images"], sharded["coords"])))
+            last_val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+            if run is not None:
+                run.log({"val_loss": last_val_loss})
+                print(f"[epoch {epoch}] val loss {last_val_loss:.5f}")
+            new_lr = scheduler.step(last_val_loss)
+            state = state._replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+
+        if epoch % cfg.save_epochs == 0 and jax.process_index() == 0:
+            ckpt.save_train_state(
+                f"{ROOT}/outputs/models/{run_id}",
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "epoch": epoch,
+                    "lr": scheduler.lr,
+                },
+            )
+
+    if run is not None:
+        run.finish()
+    return {
+        "run_id": run_id,
+        "final_train_loss": float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
+        "final_val_loss": last_val_loss,
+        "state": state,
+    }
+
+
+def main() -> None:
+    from perseus_tpu.configs.cli import cli
+
+    train(cli(TrainConfig))
+
+
+if __name__ == "__main__":
+    main()

@@ -8,7 +8,9 @@ before jax initializes, hence at module import time here.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the harness presets JAX_PLATFORMS to the TPU tunnel, but tests
+# must run on the virtual multi-device CPU backend (and use f64 oracles).
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()

@@ -33,6 +33,29 @@ def _make_pair(num_channels: int, n_keypoints: int = 8, seed: int = 0):
     return torch_model, params, stats
 
 
+def test_eval_mode_parity_f64():
+    """The semantic parity gate: in float64 both implementations must agree
+    to near machine precision — any layer-semantics mismatch (padding, BN
+    formula, pooling) would show up at O(1), not O(1e-12)."""
+    torch_model, params, stats = _make_pair(4)
+    torch_model.double().eval()
+    params = jax.tree.map(lambda a: a.astype(jnp.float64), params)
+    stats = jax.tree.map(lambda a: a.astype(jnp.float64), stats)
+
+    x = RNG.uniform(0, 1, size=(2, 4, 64, 64))
+    with torch.no_grad():
+        torch_out = torch_model(torch.from_numpy(x)).numpy()
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    jax_out, _ = resnet.keypoint_cnn_apply(
+        params, stats, x_nhwc, train=False, compute_dtype=jnp.float64
+    )
+    np.testing.assert_allclose(np.asarray(jax_out), torch_out, atol=1e-10)
+
+    folded = resnet.fold_batchnorm(params, stats)
+    jax_folded = resnet.keypoint_cnn_apply_folded(folded, x_nhwc, compute_dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(jax_folded), torch_out, atol=1e-9)
+
+
 @pytest.mark.parametrize("num_channels", [3, 4])
 def test_eval_mode_parity(num_channels):
     torch_model, params, stats = _make_pair(num_channels)
@@ -44,12 +67,13 @@ def test_eval_mode_parity(num_channels):
 
     x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
     jax_out, _ = resnet.keypoint_cnn_apply(params, stats, x_nhwc, train=False)
-    np.testing.assert_allclose(np.asarray(jax_out), torch_out, atol=2e-4)
+    # f32 summation-order drift compounds over 18 conv/BN layers (the f64
+    # test above pins exact semantics); observed ~6e-4 on random weights
+    np.testing.assert_allclose(np.asarray(jax_out), torch_out, atol=2e-3)
 
-    # folded-BN fast path must agree too (float32 compute for the comparison)
     folded = resnet.fold_batchnorm(params, stats)
     jax_folded = resnet.keypoint_cnn_apply_folded(folded, x_nhwc, compute_dtype=jnp.float32)
-    np.testing.assert_allclose(np.asarray(jax_folded), torch_out, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(jax_folded), torch_out, atol=2e-3)
 
 
 def test_train_mode_parity():
@@ -62,7 +86,7 @@ def test_train_mode_parity():
 
     x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
     jax_out, new_stats = resnet.keypoint_cnn_apply(params, stats, x_nhwc, train=True)
-    np.testing.assert_allclose(np.asarray(jax_out), torch_out, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(jax_out), torch_out, atol=2e-3)
 
     # running-stat updates must match torch's momentum rule
     torch_sd = convert.normalize_torch_keys(

@@ -1,0 +1,177 @@
+"""Smoother tests.
+
+1. Analytic Jacobians of every residual vs. jax.jacfwd under tangent
+   perturbations — the same differential-oracle pattern as the reference's
+   tests/test_dynamics_factor.py (which checks GTSAM analytic Jacobians
+   against pypose autodiff), for both velocity frames.
+2. Dynamics residual identities (exact propagation -> zero residual).
+3. Batched LM recovers poses from noisy keypoint projections.
+4. The fixed-lag smoother tracks a moving cube through a stream of
+   measurements.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perseus_tpu import lie
+from perseus_tpu.camera import Intrinsics, intrinsics_from_fov, project
+from perseus_tpu.datagen.labeling import cube_corners
+from perseus_tpu.smoother import residuals as res
+from perseus_tpu.smoother.fixed_lag import FixedLagSmoother
+from perseus_tpu.smoother.lm import SmootherConfig, WindowState, lm_solve
+
+RNG = np.random.default_rng(11)
+DT = 0.1
+
+
+def _rand_pose():
+    return lie.se3_exp(jnp.asarray(RNG.normal(size=6)))
+
+
+def test_dynamics_jacobians_vs_autodiff():
+    for vel_frame in ("world", "body"):
+        pose1, pose2 = _rand_pose(), _rand_pose()
+        w1 = jnp.asarray(RNG.normal(size=3))
+        v1 = jnp.asarray(RNG.normal(size=3))
+
+        r, h_x1, h_w, h_v, h_x2 = res.dynamics_residual_and_jacobians(
+            pose1, w1, v1, pose2, DT, vel_frame
+        )
+        np.testing.assert_allclose(
+            np.asarray(r),
+            np.asarray(res.dynamics_residual(pose1, w1, v1, pose2, DT, vel_frame)),
+            atol=1e-12,
+        )
+
+        def f(dx1, dw, dv, dx2, vf=vel_frame):
+            return res.dynamics_residual(
+                lie.se3_retract(pose1, dx1), w1 + dw, v1 + dv, lie.se3_retract(pose2, dx2), DT, vf
+            )
+
+        zeros = (jnp.zeros(6), jnp.zeros(3), jnp.zeros(3), jnp.zeros(6))
+        jacs = jax.jacfwd(f, argnums=(0, 1, 2, 3))(*zeros)
+        for analytic, auto, name in zip(
+            (h_x1, h_w, h_v, h_x2), jacs, ("pose1", "ang_vel", "vel", "pose2")
+        ):
+            np.testing.assert_allclose(
+                np.asarray(analytic), np.asarray(auto), atol=1e-7, err_msg=f"{vel_frame}:{name}"
+            )
+
+
+def test_dynamics_exact_propagation_zero_residual():
+    for vel_frame in ("world", "body"):
+        pose1 = _rand_pose()
+        w1 = jnp.asarray(RNG.normal(size=3))
+        v1 = jnp.asarray(RNG.normal(size=3))
+        v_body = lie.transform_to(lie.SE3(pose1.rot, jnp.zeros(3)), v1) if vel_frame == "world" else v1
+        pose2 = lie.se3_compose(pose1, lie.se3_exp(DT * jnp.concatenate([w1, v_body])))
+        r = res.dynamics_residual(pose1, w1, v1, pose2, DT, vel_frame)
+        np.testing.assert_allclose(np.asarray(r), 0.0, atol=1e-10)
+
+
+def test_constant_velocity():
+    v1 = jnp.asarray(RNG.normal(size=3))
+    v2 = jnp.asarray(RNG.normal(size=3))
+    np.testing.assert_allclose(
+        np.asarray(res.constant_velocity_residual(v1, v2)), np.asarray(v2 - v1), atol=0
+    )
+    h1, h2 = res.constant_velocity_jacobians(dtype=jnp.float64)
+    np.testing.assert_array_equal(np.asarray(h1), -np.eye(3))
+    np.testing.assert_array_equal(np.asarray(h2), np.eye(3))
+
+
+def test_keypoint_projection_jacobian_vs_autodiff():
+    k = Intrinsics(jnp.asarray(128.0), jnp.asarray(128.0), jnp.asarray(128.0), jnp.asarray(128.0))
+    # a pose in front of the camera
+    body_pose = lie.SE3(lie.so3_exp(jnp.asarray([0.2, -0.1, 0.3])), jnp.asarray([0.05, -0.02, 0.3]))
+    point = jnp.asarray([0.02, -0.02, 0.02])
+    meas = jnp.asarray([120.0, 130.0])
+
+    for cam_pose in (None, lie.se3_exp(jnp.asarray(RNG.normal(size=6) * 0.1))):
+        r, h = res.keypoint_projection_residual_and_jacobian(body_pose, k, meas, point, cam_pose)
+        np.testing.assert_allclose(
+            np.asarray(r),
+            np.asarray(res.keypoint_projection_residual(body_pose, k, meas, point, cam_pose)),
+            atol=1e-12,
+        )
+
+        def f(delta, cp=cam_pose):
+            return res.keypoint_projection_residual(
+                lie.se3_retract(body_pose, delta), k, meas, point, cp
+            )
+
+        jac = jax.jacfwd(f)(jnp.zeros(6))
+        np.testing.assert_allclose(np.asarray(h), np.asarray(jac), atol=1e-6)
+
+
+def _simulate(t_frames: int, noise_px: float = 0.0, dtype=jnp.float64):
+    """A cube translating + rotating in front of an identity camera."""
+    k = intrinsics_from_fov(jnp.asarray(np.pi / 3, dtype=dtype), 256, 256)
+    corners = cube_corners(0.035).astype(dtype)
+    twist = jnp.asarray([0.3, -0.2, 0.4, 0.02, 0.03, -0.01], dtype=dtype)  # [w; v_body]
+    pose0 = lie.SE3(
+        lie.so3_exp(jnp.asarray([0.1, 0.2, -0.1], dtype=dtype)),
+        jnp.asarray([0.02, -0.03, 0.35], dtype=dtype),
+    )
+    poses, meas = [], []
+    pose = pose0
+    for _ in range(t_frames):
+        poses.append(pose)
+        p_world = lie.transform_from(lie.SE3(pose.rot[None], pose.trans[None]), corners)
+        meas.append(project(k, p_world))
+        pose = lie.se3_compose(pose, lie.se3_exp(DT * twist))
+    meas = jnp.stack(meas) + noise_px * jnp.asarray(
+        RNG.normal(size=(t_frames, len(corners), 2)), dtype=dtype
+    )
+    return k, corners, poses, meas, twist
+
+
+def test_lm_recovers_poses():
+    t = 6
+    k, corners, gt_poses, meas, twist = _simulate(t, noise_px=0.3)
+    cfg = SmootherConfig(window=t, dt=DT, vel_frame="body", max_iterations=10)
+
+    # init: ground truth perturbed
+    rots, trans = [], []
+    for p in gt_poses:
+        pert = lie.se3_retract(p, jnp.asarray(RNG.normal(size=6) * 0.03))
+        rots.append(pert.rot)
+        trans.append(pert.trans)
+    state = WindowState(
+        rot=jnp.stack(rots),
+        trans=jnp.stack(trans),
+        ang_vel=jnp.tile(twist[:3] + 0.1, (t, 1)),
+        vel=jnp.tile(twist[3:] + 0.01, (t, 1)),
+    )
+    valid = jnp.ones((t,), dtype=state.trans.dtype)
+    prior = gt_poses[0]
+
+    solved, cost = lm_solve(
+        cfg, state, meas, valid, k, corners, prior, twist[:3], twist[3:]
+    )
+    for i, gt in enumerate(gt_poses):
+        err = lie.se3_log(lie.se3_between(lie.SE3(solved.rot[i], solved.trans[i]), gt))
+        assert float(jnp.linalg.norm(err)) < 2e-2, f"frame {i}: {np.asarray(err)}"
+    assert np.isfinite(float(cost))
+
+
+def test_fixed_lag_tracks_stream():
+    t_frames = 14
+    window = 6
+    k, corners, gt_poses, meas, twist = _simulate(t_frames, noise_px=0.2)
+    cfg = SmootherConfig(
+        window=window, dt=DT, vel_frame="body", max_iterations=6,
+        sigma_prior_pose=1.0, sigma_prior_vel=10.0,
+    )
+    smoother = FixedLagSmoother(cfg, k, corners, dtype=jnp.float64)
+    carry = smoother.init(initial_pose=gt_poses[0])
+
+    update = jax.jit(smoother.update)
+    errs = []
+    for i in range(t_frames):
+        carry, pose = update(carry, meas[i])
+        err = lie.se3_log(lie.se3_between(pose, gt_poses[i]))
+        errs.append(float(jnp.linalg.norm(err)))
+    # after warmup the track should be tight
+    assert max(errs[window:]) < 2e-2, errs

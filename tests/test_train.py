@@ -1,0 +1,167 @@
+"""Training tests on the virtual 8-device CPU mesh: the jitted train step
+learns on a tiny synthetic dataset, sharded == single-device numerics, the
+plateau scheduler matches torch semantics, and checkpoints round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from perseus_tpu.augment.pipeline import AugmentationConfig, KeypointAugmentation
+from perseus_tpu.data.dataset import KeypointDatasetConfig
+from perseus_tpu.data.synthetic import generate_synthetic_pruned_dataset
+from perseus_tpu.train import train as train_mod
+from perseus_tpu.train.config import TrainConfig
+from perseus_tpu.train.train import PlateauScheduler, TrainState, smooth_l1_loss
+
+
+def test_smooth_l1_matches_torch_formula():
+    import torch
+
+    pred = np.random.default_rng(0).normal(size=(4, 16)).astype(np.float32) * 3
+    target = np.random.default_rng(1).normal(size=(4, 16)).astype(np.float32)
+    ours = float(smooth_l1_loss(jnp.asarray(pred), jnp.asarray(target)))
+    torch_loss = torch.nn.SmoothL1Loss(beta=1.0)(
+        torch.from_numpy(pred), torch.from_numpy(target)
+    )
+    np.testing.assert_allclose(ours, float(torch_loss), rtol=1e-6)
+
+
+def test_plateau_scheduler_torch_semantics():
+    sched = PlateauScheduler(1e-3, patience=2, factor=0.5, min_lr=1e-5)
+    assert sched.step(1.0) == 1e-3  # new best
+    assert sched.step(1.0) == 1e-3  # bad 1
+    assert sched.step(1.0) == 1e-3  # bad 2
+    assert sched.step(1.0) == 5e-4  # bad 3 > patience -> reduce
+    assert sched.step(0.5) == 5e-4  # new best resets
+    for _ in range(20):
+        sched.step(0.5)
+    assert sched.lr >= 1e-5  # floor
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg(tmp_path_factory):
+    root = tmp_path_factory.mktemp("train_root")
+    path = generate_synthetic_pruned_dataset(str(root), n_train=16, n_test=8, h=32, w=32)
+    # light augmentations: keep the costly warp but skip the heavy RGB chain
+    aug = AugmentationConfig(
+        planckian_jitter=False, blur=False, random_plasma_shadow=False, color_jiggle=False
+    )
+    return TrainConfig(
+        batch_size=8,
+        learning_rate=1e-3,
+        n_epochs=2,
+        dataset_config=KeypointDatasetConfig(dataset_path=path),
+        augmentation_config=aug,
+        in_channels=4,
+        amp=False,  # f32 on CPU
+        save_epochs=1000,  # skip checkpoint IO in the loop test
+        cache_dataset=True,
+    )
+
+
+def test_train_loop_end_to_end(tiny_cfg):
+    assert len(jax.devices()) == 8  # the virtual mesh is active
+    result = train_mod.train(tiny_cfg)
+    assert np.isfinite(result["final_train_loss"])
+    assert np.isfinite(result["final_val_loss"])
+    state = result["state"]
+    for leaf in jax.tree.leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_train_step_learns(tiny_cfg):
+    """Loss on a fixed batch decreases over repeated steps."""
+    cfg = tiny_cfg
+    mesh = train_mod.make_mesh()
+    optimizer = train_mod.make_optimizer(cfg)
+    state = train_mod.init_state(cfg, optimizer, mesh)
+    aug = KeypointAugmentation(cfg.augmentation_config, train=False)  # deterministic
+    step = jax.jit(train_mod.make_train_step(cfg, optimizer, aug))
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 4)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(0, 31, (8, 8, 2)).astype(np.float32))
+    key = jax.random.key(0)
+    losses = []
+    for _ in range(5):
+        state, loss = step(state, images, coords, key)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_matches_single_device(tiny_cfg):
+    """The same step on a 1-device and an 8-device mesh gives the same loss
+    (global-batch BN + mean-gradient all-reduce are sharding-invariant)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = tiny_cfg
+    optimizer = train_mod.make_optimizer(cfg)
+    aug = KeypointAugmentation(cfg.augmentation_config, train=False)
+
+    rng = np.random.default_rng(1)
+    images = rng.uniform(0, 1, (8, 32, 32, 4)).astype(np.float32)
+    coords = rng.uniform(0, 31, (8, 8, 2)).astype(np.float32)
+    key = jax.random.key(1)
+
+    losses = {}
+    states = {}
+    for n in (1, 8):
+        mesh = jax.make_mesh((n,), ("data",))
+        state = train_mod.init_state(cfg, optimizer, mesh)
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P("data"))
+        step = jax.jit(
+            train_mod.make_train_step(cfg, optimizer, aug),
+            in_shardings=(repl, shard, shard, None),
+            out_shardings=(repl, repl),
+        )
+        img_s = jax.device_put(jnp.asarray(images), shard)
+        crd_s = jax.device_put(jnp.asarray(coords), shard)
+        new_state, loss = step(state, img_s, crd_s, key)
+        losses[n] = float(loss)
+        states[n] = new_state
+    np.testing.assert_allclose(losses[1], losses[8], rtol=1e-5)
+    p1 = np.asarray(states[1].params["fc.weight"])
+    p8 = np.asarray(states[8].params["fc.weight"])
+    np.testing.assert_allclose(p1, p8, atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path, tiny_cfg):
+    from perseus_tpu.train import checkpoint as ckpt
+
+    cfg = tiny_cfg
+    mesh = train_mod.make_mesh()
+    optimizer = train_mod.make_optimizer(cfg)
+    state = train_mod.init_state(cfg, optimizer, mesh)
+    directory = str(tmp_path / "ckpt")
+    ckpt.save_train_state(
+        directory,
+        {"params": state.params, "batch_stats": state.batch_stats, "epoch": 3, "lr": 1e-4},
+    )
+    restored = ckpt.restore_train_state(directory)
+    assert restored["epoch"] == 3
+    np.testing.assert_allclose(
+        np.asarray(restored["params"]["conv1.weight"]), np.asarray(state.params["conv1.weight"])
+    )
+    params, stats = ckpt.load_model(directory)
+    assert "bn1.running_mean" in stats
+
+
+def test_pth_interop_roundtrip(tmp_path, tiny_cfg):
+    """Export to a reference .pth and load it back through the converter."""
+    from perseus_tpu.train import checkpoint as ckpt
+
+    cfg = tiny_cfg
+    mesh = train_mod.make_mesh()
+    optimizer = train_mod.make_optimizer(cfg)
+    state = train_mod.init_state(cfg, optimizer, mesh)
+    path = str(tmp_path / "export.pth")
+    ckpt.export_reference_pth(path, state.params, state.batch_stats)
+    params, stats = ckpt.load_model(path)
+    np.testing.assert_allclose(
+        np.asarray(params["conv1.weight"]), np.asarray(state.params["conv1.weight"]), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(stats["bn1.running_var"]), np.asarray(state.batch_stats["bn1.running_var"]), atol=0
+    )
