@@ -31,15 +31,26 @@ def _flag_name(path: tuple[str, ...]) -> str:
     return "--" + ".".join(p.replace("_", "-") for p in path)
 
 
+def _field_types(cls: type) -> dict[str, Any]:
+    """Resolved annotations: config modules use `from __future__ import
+    annotations`, so `field.type` may be the *string* "int" — always go
+    through get_type_hints."""
+    try:
+        return typing.get_type_hints(cls)
+    except Exception:
+        return {f.name: f.type for f in dataclasses.fields(cls)}
+
+
 def _iter_fields(cls: type, path: tuple[str, ...] = ()):
+    """Yields (path, field, resolved_type) for every leaf field."""
+    hints = _field_types(cls)
     for f in dataclasses.fields(cls):
         sub = path + (f.name,)
-        if _is_dataclass_type(f.type if isinstance(f.type, type) else type(None)) or _is_dataclass_type(
-            typing.get_origin(f.type) or f.type
-        ):
-            yield from _iter_fields(f.type, sub)  # type: ignore[arg-type]
+        ftype = hints.get(f.name, f.type)
+        if _is_dataclass_type(ftype):
+            yield from _iter_fields(ftype, sub)
         else:
-            yield sub, f
+            yield sub, f, ftype
 
 
 def _parse_value(raw: str, annotation: Any) -> Any:
@@ -58,7 +69,9 @@ def _parse_value(raw: str, annotation: Any) -> Any:
         parts = [p for chunk in raw.split(",") for p in chunk.split() if p]
         vals = [_parse_value(p, elem) for p in parts]
         return tuple(vals) if origin is tuple else vals
-    if origin is typing.Union:  # Optional[...]
+    import types
+
+    if origin is typing.Union or origin is types.UnionType:  # Optional[...] / X | None
         args = [a for a in typing.get_args(annotation) if a is not type(None)]
         if raw.lower() in ("none", "null"):
             return None
@@ -68,18 +81,18 @@ def _parse_value(raw: str, annotation: Any) -> Any:
 
 def _help_text(cls: type) -> str:
     lines = [f"Usage: {sys.argv[0]} [flags]", "", f"Config: {cls.__name__}", ""]
-    for path, f in _iter_fields(cls):
+    for path, f, ftype in _iter_fields(cls):
         default = f.default if f.default is not dataclasses.MISSING else (
             f.default_factory() if f.default_factory is not dataclasses.MISSING else "<required>"
         )
-        type_name = getattr(f.type, "__name__", str(f.type))
+        type_name = getattr(ftype, "__name__", str(ftype))
         lines.append(f"  {_flag_name(path)} ({type_name}, default: {default})")
     return "\n".join(lines)
 
 
 def parse_config(cls: type[T], argv: Sequence[str]) -> T:
     """Builds an instance of (frozen, nested) dataclass `cls` from argv."""
-    field_map = {_flag_name(path): (path, f) for path, f in _iter_fields(cls)}
+    field_map = {_flag_name(path): (path, ftype) for path, f, ftype in _iter_fields(cls)}
     overrides: dict[tuple[str, ...], Any] = {}
 
     i = 0
@@ -100,7 +113,7 @@ def parse_config(cls: type[T], argv: Sequence[str]) -> T:
             stripped = name[2:]
             neg = stripped.startswith("no-") and ("--" + stripped[3:]) in field_map
             probe = "--" + (stripped[3:] if neg else stripped)
-            if probe in field_map and field_map[probe][1].type is bool and (
+            if probe in field_map and field_map[probe][1] is bool and (
                 i + 1 >= len(argv) or argv[i + 1].startswith("--")
             ):
                 overrides[field_map[probe][0]] = not neg
@@ -112,14 +125,15 @@ def parse_config(cls: type[T], argv: Sequence[str]) -> T:
             i += 2
         if name not in field_map:
             raise SystemExit(f"Unknown flag: {name}\n\n{_help_text(cls)}")
-        path, f = field_map[name]
-        overrides[path] = _parse_value(raw, f.type)
+        path, ftype = field_map[name]
+        overrides[path] = _parse_value(raw, ftype)
 
     def build(cls_: type, path: tuple[str, ...] = ()):
         kwargs = {}
+        hints = _field_types(cls_)
         for f in dataclasses.fields(cls_):
             sub = path + (f.name,)
-            ftype = f.type
+            ftype = hints.get(f.name, f.type)
             if _is_dataclass_type(ftype):
                 # rebuild nested config only if any override touches it
                 if any(k[: len(sub)] == sub for k in overrides):

@@ -152,10 +152,11 @@ def _batchnorm(
 ):
     gamma = params[f"{prefix}.weight"]
     beta = params[f"{prefix}.bias"]
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
     if train:
         # torch: normalize with biased batch stats; update running stats with
         # the unbiased variance.
-        xf = x.astype(jnp.float32)
+        xf = x.astype(acc_dtype)
         mean = jnp.mean(xf, axis=(0, 1, 2))
         var = jnp.var(xf, axis=(0, 1, 2))
         if new_stats is not None:
@@ -171,9 +172,9 @@ def _batchnorm(
     else:
         mean = stats[f"{prefix}.running_mean"]
         var = stats[f"{prefix}.running_var"]
-    scale = gamma * jax.lax.rsqrt(var + BN_EPS)
-    shift = beta - mean * scale
-    return (x.astype(jnp.float32) * scale + shift).astype(x.dtype)
+    scale = gamma.astype(acc_dtype) * jax.lax.rsqrt(var.astype(acc_dtype) + BN_EPS)
+    shift = beta.astype(acc_dtype) - mean.astype(acc_dtype) * scale
+    return (x.astype(acc_dtype) * scale + shift).astype(x.dtype)
 
 
 def _basic_block(
@@ -249,9 +250,13 @@ def keypoint_cnn_apply(
                 compute_dtype,
             )
 
-    pooled = jnp.mean(out.astype(jnp.float32), axis=(1, 2))  # global average pool
-    logits = pooled @ params["fc.weight"].astype(jnp.float32) + params["fc.bias"]
-    return logits.astype(jnp.float32), (new_stats if train else stats)
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    pooled = jnp.mean(out.astype(acc_dtype), axis=(1, 2))  # global average pool
+    logits = (
+        jnp.dot(pooled, params["fc.weight"].astype(acc_dtype), precision=jax.lax.Precision.HIGHEST)
+        + params["fc.bias"]
+    )
+    return logits.astype(acc_dtype), (new_stats if train else stats)
 
 
 # --------------------------------------------------------------------------
@@ -318,9 +323,13 @@ def keypoint_cnn_apply_folded(
             if f"{prefix}.downsample.0.weight" in folded:
                 identity = conv_bias(out, f"{prefix}.downsample.0", stride, 0)
             out = jax.nn.relu(h + identity)
-    pooled = jnp.mean(out.astype(jnp.float32), axis=(1, 2))
-    logits = pooled @ folded["fc.weight"].astype(jnp.float32) + folded["fc.bias"]
-    return logits.astype(jnp.float32)
+    acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
+    pooled = jnp.mean(out.astype(acc_dtype), axis=(1, 2))
+    logits = (
+        jnp.dot(pooled, folded["fc.weight"].astype(acc_dtype), precision=jax.lax.Precision.HIGHEST)
+        + folded["fc.bias"]
+    )
+    return logits.astype(acc_dtype)
 
 
 def param_shapes(params: dict[str, jnp.ndarray]) -> dict[str, tuple]:

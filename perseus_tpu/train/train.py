@@ -151,9 +151,16 @@ def make_eval_step(cfg: TrainConfig, val_augment: KeypointAugmentation):
     return step
 
 
-def make_mesh(data_parallel: bool = True):
-    n = len(jax.devices()) if data_parallel else 1
-    return jax.make_mesh((n,), ("data",))
+def make_mesh(data_parallel: bool = True, n_devices: int | None = None):
+    """1-D data-parallel mesh in Auto (GSPMD) mode.
+
+    jax>=0.9 defaults `jax.make_mesh` to Explicit axis types, which rejects
+    the cross-shard donor gather in the transplantation augmentation; the
+    step is designed for compiler-propagated shardings (global-batch BN,
+    implicit grad psum), so Auto is the intended mode.
+    """
+    n = n_devices if n_devices is not None else (len(jax.devices()) if data_parallel else 1)
+    return jax.make_mesh((n,), ("data",), axis_types=(jax.sharding.AxisType.Auto,))
 
 
 def shard_batch(batch: dict, mesh) -> dict:

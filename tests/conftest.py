@@ -8,8 +8,9 @@ before jax initializes, hence at module import time here.
 
 import os
 
-# force CPU: the harness presets JAX_PLATFORMS to the TPU tunnel, but tests
-# must run on the virtual multi-device CPU backend (and use f64 oracles).
+# force CPU: the harness presets JAX_PLATFORMS to the TPU tunnel (and may
+# pre-import jax via sitecustomize, so the env var alone is read too late) —
+# tests must run on the virtual multi-device CPU backend (and use f64 oracles).
 os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "--xla_force_host_platform_device_count" not in _flags:
@@ -17,6 +18,13 @@ if "--xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# jax may already be imported (sitecustomize), in which case it captured
+# JAX_PLATFORMS at import; config.update works any time before backend init.
+jax.config.update("jax_platforms", "cpu")
+
 # Double precision for the math-oracle tests (production code sets dtypes
 # explicitly, so this only widens default-dtype test arrays).
 jax.config.update("jax_enable_x64", True)
+
+assert jax.default_backend() == "cpu", "tests must not run on the TPU tunnel"
+assert jax.device_count() == 8, "tests expect the virtual 8-device CPU mesh"

@@ -107,7 +107,7 @@ def test_sharded_matches_single_device(tiny_cfg):
     losses = {}
     states = {}
     for n in (1, 8):
-        mesh = jax.make_mesh((n,), ("data",))
+        mesh = train_mod.make_mesh(n_devices=n)
         state = train_mod.init_state(cfg, optimizer, mesh)
         repl = NamedSharding(mesh, P())
         shard = NamedSharding(mesh, P("data"))
