@@ -113,11 +113,41 @@ def _prepare_aug_batch(batch: dict, in_channels: int, use_transplant: bool) -> n
     return np.concatenate(parts, axis=-1, dtype=np.float32)
 
 
-def make_train_step(cfg: TrainConfig, optimizer: optax.GradientTransformation, train_augment: KeypointAugmentation):
+def make_train_step(
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    train_augment: KeypointAugmentation,
+    mesh=None,
+):
+    """Builds the jitted train step.
+
+    With `mesh`, the augmentation runs inside `shard_map` over the data axis:
+    every stage is batch-elementwise except the transplantation donor gather,
+    which becomes shard-local (each shard donates within its own sub-batch —
+    statistically equivalent to the reference's global random donor, and it
+    keeps the image batch from being all-gathered across chips every step).
+    Each shard folds the step key with its mesh position for independent
+    random streams.
+    """
     compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
 
+    def apply_augment(key: jax.Array, images_aug: jnp.ndarray, coords: jnp.ndarray):
+        if mesh is None:
+            return train_augment(key, images_aug, coords)
+
+        def local_aug(k, img, crd):
+            k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+            return train_augment(k, img, crd)
+
+        return jax.shard_map(
+            local_aug,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+        )(key, images_aug, coords)
+
     def step(state: TrainState, images_aug: jnp.ndarray, coords: jnp.ndarray, key: jax.Array):
-        images, target = train_augment(key, images_aug, coords)
+        images, target = apply_augment(key, images_aug, coords)
         images = images[..., : cfg.in_channels]
         target = target.reshape(target.shape[0], -1)
 
@@ -220,7 +250,7 @@ def train(cfg: TrainConfig) -> dict:
     replicated = NamedSharding(mesh, P())
     data_sharded = NamedSharding(mesh, P("data"))
     train_step = jax.jit(
-        make_train_step(cfg, optimizer, train_augment),
+        make_train_step(cfg, optimizer, train_augment, mesh=mesh),
         in_shardings=(replicated, data_sharded, data_sharded, None),
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
