@@ -76,7 +76,9 @@ def bench_smoother() -> float:
     from perseus_tpu.smoother.fixed_lag import FixedLagSmoother
     from perseus_tpu.smoother.lm import SmootherConfig
 
-    cfg = SmootherConfig(window=24, max_iterations=6)
+    # production streaming config: incremental GN, 4 iterations (tracking
+    # quality validated in tests/test_smoother.py::test_fixed_lag_gn_mode_*)
+    cfg = SmootherConfig(window=24, max_iterations=4, accept_reject=False)
     intr = intrinsics_from_fov(jnp.asarray(1.0), 256, 256)
     smoother = FixedLagSmoother(cfg, intr, cube_corners(0.035).astype(jnp.float32))
     carry = smoother.init()

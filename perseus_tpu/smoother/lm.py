@@ -21,10 +21,14 @@ Factors over a window of T frames:
   * keypoint projection residuals: K corners x 2 per frame, masked by
     per-frame measurement validity.
 
-Jacobians come from jax.jacfwd of the retraction-perturbed residual stack —
-the analytic per-factor Jacobians in residuals.py are differentially tested
-against the same math and remain available for a hand-assembled sparse
-variant if profiling demands it.
+Jacobians: the default ("block") solver assembles the normal equations
+directly from the analytic per-factor Jacobians in residuals.py — the
+Jacobian is block-tridiagonal in frames (dynamics/const-vel couple only
+neighbors; priors/keypoints/pins are per-frame), so J^T J and J^T r build
+from (T, 12, 12) einsums instead of 12*T forward-mode passes through the
+whole residual graph. A "jacfwd" solver (dense jax.jacfwd of the
+retraction-perturbed residual stack) is kept as the differential-test oracle
+and for new residual prototyping.
 """
 
 from __future__ import annotations
@@ -36,10 +40,17 @@ import jax
 import jax.numpy as jnp
 
 from perseus_tpu.camera import Intrinsics
-from perseus_tpu.lie import SE3, se3_exp, se3_compose, se3_log, se3_between
+from perseus_tpu.lie import SE3, se3_exp, se3_compose, se3_log, se3_between, se3_logmap_derivative
 from perseus_tpu.smoother import residuals as res
 
-__all__ = ["SmootherConfig", "WindowState", "window_residuals", "lm_solve", "predict_next"]
+__all__ = [
+    "SmootherConfig",
+    "WindowState",
+    "window_residuals",
+    "assemble_normal_equations",
+    "lm_solve",
+    "predict_next",
+]
 
 
 @dataclass(frozen=True)
@@ -69,6 +80,15 @@ class SmootherConfig:
     lambda_down: float = 0.5
     lambda_min: float = 1e-9
     lambda_max: float = 1e6
+    # "jacfwd": batched-JVP Jacobian of the whole residual stack — fastest on
+    # TPU (288 tangent columns evaluate as one wide batch). "block": analytic
+    # per-factor assembly — fewer FLOPs, more small kernels; differential
+    # oracle and the better choice on hosts where tiny-op latency is cheap.
+    solver: str = "jacfwd"
+    # False = incremental Gauss-Newton (constant damping, no trial-cost
+    # eval/reject) — the warm-started tracking mode, ~2x cheaper per
+    # iteration; True = full LM accept/reject for cold starts.
+    accept_reject: bool = True
 
 
 class WindowState(NamedTuple):
@@ -176,6 +196,141 @@ def window_residuals(
     return jnp.concatenate(parts)
 
 
+def assemble_normal_equations(
+    cfg: SmootherConfig,
+    state: WindowState,
+    measurements: jnp.ndarray,
+    valid: jnp.ndarray,
+    intrinsics: Intrinsics,
+    points_body: jnp.ndarray,
+    prior_pose: SE3,
+    prior_ang_vel: jnp.ndarray,
+    prior_vel: jnp.ndarray,
+    camera_pose: SE3 | None,
+    anchor: WindowState,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Builds (J^T J, J^T r, cost) from analytic per-factor Jacobians.
+
+    The whitened residual stack matches :func:`window_residuals` exactly
+    (differentially tested); the Jacobian structure is block-tridiagonal in
+    frames, so the dense (12T, 12T) system assembles from batched 12x12
+    blocks. Right-perturbation tangent ordering per frame:
+    [pose (6) | ang vel (3) | lin vel (3)].
+    """
+    t = state.rot.shape[0]
+    dtype = state.trans.dtype
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    d_blocks = jnp.zeros((t, 12, 12), dtype=dtype)  # diagonal blocks of JTJ
+    b_blocks = jnp.zeros((t, 12), dtype=dtype)  # JTr
+    cost = jnp.zeros((), dtype=dtype)
+
+    # ---- prior on frame 0 ----------------------------------------------
+    rel0 = se3_between(prior_pose, SE3(state.rot[0], state.trans[0]))
+    r0p = se3_log(rel0) / cfg.sigma_prior_pose
+    j0p = se3_logmap_derivative(rel0) / cfg.sigma_prior_pose  # (6, 6)
+    r0w = (state.ang_vel[0] - prior_ang_vel) / cfg.sigma_prior_vel
+    r0v = (state.vel[0] - prior_vel) / cfg.sigma_prior_vel
+    d0 = jnp.zeros((12, 12), dtype=dtype)
+    d0 = d0.at[:6, :6].set(j0p.T @ j0p)
+    d0 = d0.at[6:9, 6:9].set(eye3 / cfg.sigma_prior_vel**2)
+    d0 = d0.at[9:12, 9:12].set(eye3 / cfg.sigma_prior_vel**2)
+    b0 = jnp.concatenate([j0p.T @ r0p, r0w / cfg.sigma_prior_vel, r0v / cfg.sigma_prior_vel])
+    d_blocks = d_blocks.at[0].add(d0)
+    b_blocks = b_blocks.at[0].add(b0)
+    cost += jnp.dot(r0p, r0p) + jnp.dot(r0w, r0w) + jnp.dot(r0v, r0v)
+
+    # ---- dynamics + constant-velocity pairs (i, i+1) -------------------
+    sigma_dyn = jnp.concatenate(
+        [jnp.full((3,), cfg.sigma_dynamics_rot), jnp.full((3,), cfg.sigma_dynamics_trans)]
+    ).astype(dtype)
+    pair_valid = valid[:-1] * valid[1:]  # (T-1,)
+
+    r_dyn, h_p1, h_w, h_v, h_p2 = jax.vmap(
+        lambda ra, ta, w, v, rb, tb: res.dynamics_residual_and_jacobians(
+            SE3(ra, ta), w, v, SE3(rb, tb), cfg.dt, cfg.vel_frame
+        )
+    )(
+        state.rot[:-1], state.trans[:-1], state.ang_vel[:-1], state.vel[:-1],
+        state.rot[1:], state.trans[1:],
+    )
+    pv = pair_valid[:, None]
+    pv2 = pair_valid[:, None, None]
+    # whitened pair residual: [dynamics (6) | const-w (3) | const-v (3)]
+    r_pair = jnp.concatenate(
+        [
+            r_dyn / sigma_dyn,
+            (state.ang_vel[1:] - state.ang_vel[:-1]) / cfg.sigma_const_ang_vel,
+            (state.vel[1:] - state.vel[:-1]) / cfg.sigma_const_vel,
+        ],
+        axis=-1,
+    ) * pv  # (T-1, 12)
+    # A: d r_pair / d frame_i ; B: d r_pair / d frame_{i+1}   (T-1, 12, 12)
+    a = jnp.zeros((t - 1, 12, 12), dtype=dtype)
+    a = a.at[:, :6, :6].set(h_p1 / sigma_dyn[:, None])
+    a = a.at[:, :6, 6:9].set(h_w / sigma_dyn[:, None])
+    a = a.at[:, :6, 9:12].set(h_v / sigma_dyn[:, None])
+    a = a.at[:, 6:9, 6:9].set(-eye3 / cfg.sigma_const_ang_vel)
+    a = a.at[:, 9:12, 9:12].set(-eye3 / cfg.sigma_const_vel)
+    a = a * pv2
+    b = jnp.zeros((t - 1, 12, 12), dtype=dtype)
+    b = b.at[:, :6, :6].set(h_p2 / sigma_dyn[:, None])
+    b = b.at[:, 6:9, 6:9].set(eye3 / cfg.sigma_const_ang_vel)
+    b = b.at[:, 9:12, 9:12].set(eye3 / cfg.sigma_const_vel)
+    b = b * pv2
+
+    d_blocks = d_blocks.at[:-1].add(jnp.einsum("tai,taj->tij", a, a))
+    d_blocks = d_blocks.at[1:].add(jnp.einsum("tai,taj->tij", b, b))
+    u_blocks = jnp.einsum("tai,taj->tij", a, b)  # (T-1, 12, 12) coupling i,i+1
+    b_blocks = b_blocks.at[:-1].add(jnp.einsum("tai,ta->ti", a, r_pair))
+    b_blocks = b_blocks.at[1:].add(jnp.einsum("tai,ta->ti", b, r_pair))
+    cost += jnp.sum(r_pair * r_pair)
+
+    # ---- keypoint projections (per frame, pose block only) -------------
+    def frame_proj(rot, trans, meas):
+        return jax.vmap(
+            lambda p, m: res.keypoint_projection_residual_and_jacobian(
+                SE3(rot, trans), intrinsics, m, p, camera_pose
+            )
+        )(points_body, meas)
+
+    r_kp, h_kp = jax.vmap(frame_proj)(state.rot, state.trans, measurements)
+    vmask = valid[:, None, None]
+    r_kp = (r_kp / cfg.sigma_keypoint_px) * vmask  # (T, K, 2)
+    h_kp = (h_kp / cfg.sigma_keypoint_px) * valid[:, None, None, None]  # (T, K, 2, 6)
+    jk = h_kp.reshape(t, -1, 6)
+    rk = r_kp.reshape(t, -1)
+    d_blocks = d_blocks.at[:, :6, :6].add(jnp.einsum("tai,taj->tij", jk, jk))
+    b_blocks = b_blocks.at[:, :6].add(jnp.einsum("tai,ta->ti", jk, rk))
+    cost += jnp.sum(rk * rk)
+
+    # ---- pin unobserved (warmup) frames to the anchor ------------------
+    w_pin = (1.0 - valid) / 1e-3  # (T,)
+    rel_pin = se3_between(SE3(anchor.rot, anchor.trans), SE3(state.rot, state.trans))
+    r_pin_pose = se3_log(rel_pin) * w_pin[:, None]
+    j_pin = jax.vmap(se3_logmap_derivative)(rel_pin) * w_pin[:, None, None]
+    r_pin_w = (state.ang_vel - anchor.ang_vel) * w_pin[:, None]
+    r_pin_v = (state.vel - anchor.vel) * w_pin[:, None]
+    d_blocks = d_blocks.at[:, :6, :6].add(jnp.einsum("tai,taj->tij", j_pin, j_pin))
+    pin_eye = w_pin[:, None, None] ** 2 * eye3
+    d_blocks = d_blocks.at[:, 6:9, 6:9].add(pin_eye)
+    d_blocks = d_blocks.at[:, 9:12, 9:12].add(pin_eye)
+    b_blocks = b_blocks.at[:, :6].add(jnp.einsum("tai,ta->ti", j_pin, r_pin_pose))
+    b_blocks = b_blocks.at[:, 6:9].add(w_pin[:, None] * r_pin_w)
+    b_blocks = b_blocks.at[:, 9:12].add(w_pin[:, None] * r_pin_v)
+    cost += jnp.sum(r_pin_pose**2) + jnp.sum(r_pin_w**2) + jnp.sum(r_pin_v**2)
+
+    # ---- dense block-tridiagonal system --------------------------------
+    h4 = jnp.zeros((t, 12, t, 12), dtype=dtype)
+    idx = jnp.arange(t)
+    h4 = h4.at[idx, :, idx, :].set(d_blocks)
+    h4 = h4.at[idx[:-1], :, idx[1:], :].set(u_blocks)
+    h4 = h4.at[idx[1:], :, idx[:-1], :].set(jnp.swapaxes(u_blocks, -1, -2))
+    jtj = h4.reshape(t * 12, t * 12)
+    jtr = b_blocks.reshape(t * 12)
+    return jtj, jtr, 0.5 * cost
+
+
 def lm_solve(
     cfg: SmootherConfig,
     state: WindowState,
@@ -209,13 +364,22 @@ def lm_solve(
         r = residual_of(jnp.zeros(tangent_dim, dtype=st.trans.dtype), st)
         return 0.5 * jnp.dot(r, r)
 
+    def normal_equations(st: WindowState):
+        if cfg.solver == "block":
+            return assemble_normal_equations(
+                cfg, st, measurements, valid, intrinsics, points_body,
+                prior_pose, prior_ang_vel, prior_vel, camera_pose, anchor,
+            )
+        zero = jnp.zeros(tangent_dim, dtype=st.trans.dtype)
+        # one linearize pass gives the primal; the 12T tangent columns then
+        # evaluate as a single wide vmapped-JVP batch (TPU-friendly shapes)
+        r, jvp = jax.linearize(lambda d: residual_of(d, st), zero)
+        jac_t = jax.vmap(jvp)(jnp.eye(tangent_dim, dtype=zero.dtype))  # (12T, R)
+        return jac_t @ jac_t.T, jac_t @ r, 0.5 * jnp.dot(r, r)
+
     def step(carry):
         st, lam, it, _ = carry
-        zero = jnp.zeros(tangent_dim, dtype=st.trans.dtype)
-        r = residual_of(zero, st)
-        jac = jax.jacfwd(residual_of)(zero, st)  # (R, 12T)
-        jtj = jac.T @ jac
-        jtr = jac.T @ r
+        jtj, jtr, old_cost = normal_equations(st)
         # damped normal equations; Marquardt scaling on the diagonal
         diag = jnp.diagonal(jtj)
         a = jtj + lam * jnp.diag(jnp.maximum(diag, 1e-6))
@@ -223,9 +387,10 @@ def lm_solve(
         delta = jax.scipy.linalg.cho_solve((chol, low), -jtr)
 
         new_st = retract_window(st, delta.reshape(t, 12))
-        old_cost = 0.5 * jnp.dot(r, r)
-        new_r = residual_of(zero, new_st)
-        new_cost = 0.5 * jnp.dot(new_r, new_r)
+        if not cfg.accept_reject:
+            # incremental GN: constant damping, always step
+            return new_st, lam, it + 1, old_cost
+        new_cost = cost(new_st)
         accept = new_cost < old_cost
 
         st_out = jax.tree.map(lambda a_, b_: jnp.where(accept, a_, b_), new_st, st)

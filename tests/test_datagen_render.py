@@ -1,0 +1,137 @@
+"""Datagen renderer tests: geometry consistency with the labeler, z-buffer
+occlusion, and the generate -> label end-to-end roundtrip."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from perseus_tpu import lie
+from perseus_tpu.datagen import render
+from perseus_tpu.datagen.generate import VideoConfig, generate_one_video
+from perseus_tpu.datagen.labeling import cube_corners, label_trajectory
+
+RNG = np.random.default_rng(7)
+
+
+def _single_cube_scene(h=64, w=64, scale=0.5, cube_z=0.0):
+    """One cube at the origin viewed from a Blender camera on +X looking at
+    the origin (camera -Z forward = world -X)."""
+    t = 2
+    rot = jnp.tile(jnp.eye(3), (t, 1, 1))[:, None]  # (T, 1, 3, 3)
+    trans = jnp.tile(jnp.asarray([0.0, 0.0, cube_z]), (t, 1))[:, None]
+    cam_pos = np.array([4.0, 0.0, 0.0])
+    # blender camera at +X looking at origin: z_cam = +X, x_cam = cross(up, z)
+    z_cam = np.array([1.0, 0.0, 0.0])
+    x_cam = np.array([0.0, -1.0, 0.0])
+    y_cam = np.cross(z_cam, x_cam)
+    cam_rot = np.stack([x_cam, y_cam, z_cam], axis=-1)
+    quat = np.asarray(lie.rot_to_quat_wxyz(jnp.asarray(cam_rot)))
+    cam7 = jnp.asarray(np.tile(np.concatenate([cam_pos, quat]), (t, 1)), dtype=jnp.float32)
+    rgb, depth, seg = render.render_frames(
+        jax.random.key(0),
+        rot.astype(jnp.float32),
+        trans.astype(jnp.float32),
+        jnp.full((1, 3), scale, dtype=jnp.float32),
+        jnp.asarray([[0.9, 0.2, 0.2]], dtype=jnp.float32),
+        jnp.ones((1,), dtype=jnp.float32),
+        cam7,
+        fov=np.pi / 3,
+        height=h,
+        width=w,
+    )
+    return np.asarray(rgb), np.asarray(depth), np.asarray(seg), cam7
+
+
+def test_render_cube_centered_and_occludes_background():
+    rgb, depth, seg, _ = _single_cube_scene()
+    mask = seg[0] == 1
+    assert mask.any(), "cube not rendered"
+    ys, xs = np.nonzero(mask)
+    # centered cube projects around the principal point
+    assert abs(xs.mean() - 32) < 3 and abs(ys.mean() - 32) < 3
+    # cube depth ~ distance from camera (4) minus half extent, < background
+    cube_depth = depth[0][mask]
+    assert 3.0 < cube_depth.min() < 4.2
+    assert depth[0][~mask].min() > cube_depth.max()
+    # shading: cube pixels are reddish
+    assert rgb[0][mask][:, 0].mean() > rgb[0][mask][:, 1].mean()
+
+
+def test_render_keypoints_land_on_cube_mask():
+    """The labeler's projected corners must fall inside (or on the border of)
+    the rendered cube silhouette — same camera math by construction."""
+    scale = 0.5
+    rgb, depth, seg, cam7 = _single_cube_scene(scale=scale)
+    obj7 = jnp.asarray(
+        np.tile(np.array([0, 0, 0, 1.0, 0, 0, 0], dtype=np.float32), (2, 1))
+    )  # identity pose, wxyz
+    px = np.asarray(label_trajectory(obj7, cam7, scale, np.pi / 3, 64, 64))
+    mask = seg[0] == 1
+    ys, xs = np.nonzero(mask)
+    for u, v in px[0]:
+        assert xs.min() - 1.5 <= u <= xs.max() + 1.5, (u, xs.min(), xs.max())
+        assert ys.min() - 1.5 <= v <= ys.max() + 1.5, (v, ys.min(), ys.max())
+
+
+def test_render_occlusion_between_objects():
+    """A nearer box must occlude a farther one along the same ray."""
+    t = 1
+    rot = jnp.tile(jnp.eye(3), (t, 2, 1, 1)).astype(jnp.float32)
+    trans = jnp.asarray([[[2.0, 0.0, 0.0], [0.0, 0.0, 0.0]]], dtype=jnp.float32)
+    cam_pos = np.array([5.0, 0.0, 0.0])
+    z_cam = np.array([1.0, 0.0, 0.0])
+    x_cam = np.array([0.0, -1.0, 0.0])
+    y_cam = np.cross(z_cam, x_cam)
+    quat = np.asarray(lie.rot_to_quat_wxyz(jnp.asarray(np.stack([x_cam, y_cam, z_cam], -1))))
+    cam7 = jnp.asarray(np.concatenate([cam_pos, quat])[None], dtype=jnp.float32)
+    _, depth, seg = render.render_frames(
+        jax.random.key(1),
+        rot, trans,
+        jnp.full((2, 3), 0.4, dtype=jnp.float32),
+        jnp.asarray([[0.9, 0.1, 0.1], [0.1, 0.9, 0.1]], dtype=jnp.float32),
+        jnp.ones((2,), dtype=jnp.float32),
+        cam7, np.pi / 3, 48, 48,
+    )
+    seg = np.asarray(seg)[0]
+    center = seg[24, 24]
+    assert center == 1, f"front box should win the z-test, got {center}"
+    assert not (seg == 2).any() or (seg == 2).sum() < (seg == 1).sum()
+
+
+def test_generate_then_label_roundtrip(tmp_path):
+    """generate_one_video writes a job dir the labeler consumes unchanged."""
+    from perseus_tpu.datagen.label_dataset import LabelConfig, label_job
+
+    cfg = VideoConfig(
+        job_dir=str(tmp_path), resolution=48, frames=3,
+        n_static_range=(2, 3), n_dynamic_range=(1, 1), seed=3,
+    )
+    job_path = generate_one_video(cfg, job_id="deadbeef")
+    assert os.path.exists(os.path.join(job_path, "metadata.json"))
+    with open(os.path.join(job_path, "metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["instances"][0]["asset_id"] == "mjc"
+    assert len(meta["camera"]["positions"]) == 3
+
+    out = label_job(LabelConfig(job_dir=str(tmp_path), frames=3), "deadbeef")
+    px = out["pixel_coordinates"]
+    assert px.shape == (3, 8, 2)
+    assert np.isfinite(px).all()
+    # the cube spawns near the camera target, so its corners should project
+    # inside (or near) the image
+    assert (px > -48).all() and (px < 96).all()
+
+    # rendered seg must contain the cube (instance index 0 -> label 1) in
+    # at least one frame, and its pixels must coincide with projected corners
+    segs = out["segmentation_images"]
+    assert (segs == 1).any()
+
+
+def test_value_noise_range_and_smoothness():
+    n = np.asarray(render.value_noise(jax.random.key(0), 64, 64, cells=4))
+    assert 0.0 <= n.min() and n.max() <= 1.0
+    # smooth: neighboring pixels differ much less than the global range
+    assert np.abs(np.diff(n, axis=0)).max() < 0.2

@@ -175,3 +175,102 @@ def test_fixed_lag_tracks_stream():
         errs.append(float(jnp.linalg.norm(err)))
     # after warmup the track should be tight
     assert max(errs[window:]) < 2e-2, errs
+
+
+def test_block_normal_equations_match_jacfwd():
+    """The analytic block assembly must reproduce J^T J, J^T r, and the cost
+    of the dense-jacfwd oracle on a partially-valid noisy window."""
+    from perseus_tpu.smoother.lm import assemble_normal_equations, retract_window, window_residuals
+
+    t = 5
+    k, corners, gt_poses, meas, twist = _simulate(t, noise_px=1.0)
+    rots, trans = [], []
+    for p in gt_poses:
+        pert = lie.se3_retract(p, jnp.asarray(RNG.normal(size=6) * 0.05))
+        rots.append(pert.rot)
+        trans.append(pert.trans)
+    state = WindowState(
+        rot=jnp.stack(rots),
+        trans=jnp.stack(trans),
+        ang_vel=jnp.asarray(RNG.normal(size=(t, 3)) * 0.2 + np.asarray(twist[:3])),
+        vel=jnp.asarray(RNG.normal(size=(t, 3)) * 0.02 + np.asarray(twist[3:])),
+    )
+    anchor = WindowState(
+        rot=jnp.stack([p.rot for p in gt_poses]),
+        trans=jnp.stack([p.trans for p in gt_poses]),
+        ang_vel=jnp.tile(twist[:3], (t, 1)),
+        vel=jnp.tile(twist[3:], (t, 1)),
+    )
+    valid = jnp.asarray([0.0, 0.0, 1.0, 1.0, 1.0])  # warmup frames masked
+    prior = gt_poses[0]
+
+    for vel_frame in ("world", "body"):
+        for cam_pose in (None, lie.se3_exp(jnp.asarray(RNG.normal(size=6) * 0.1))):
+            cfg = SmootherConfig(window=t, dt=DT, vel_frame=vel_frame)
+
+            def residual_of(delta_flat):
+                perturbed = retract_window(state, delta_flat.reshape(t, 12))
+                return window_residuals(
+                    cfg, perturbed, meas, valid, k, corners,
+                    prior, twist[:3], twist[3:], cam_pose, anchor,
+                )
+
+            zero = jnp.zeros(12 * t, dtype=state.trans.dtype)
+            r = residual_of(zero)
+            jac = jax.jacfwd(residual_of)(zero)
+            jtj, jtr, cost = assemble_normal_equations(
+                cfg, state, meas, valid, k, corners,
+                prior, twist[:3], twist[3:], cam_pose, anchor,
+            )
+            np.testing.assert_allclose(np.asarray(jtj), np.asarray(jac.T @ jac), atol=1e-7)
+            np.testing.assert_allclose(np.asarray(jtr), np.asarray(jac.T @ r), atol=1e-8)
+            np.testing.assert_allclose(float(cost), 0.5 * float(jnp.dot(r, r)), rtol=1e-10)
+
+
+def test_lm_block_matches_jacfwd_solver():
+    t = 6
+    k, corners, gt_poses, meas, twist = _simulate(t, noise_px=0.3)
+    rots, trans = [], []
+    for p in gt_poses:
+        pert = lie.se3_retract(p, jnp.asarray(RNG.normal(size=6) * 0.03))
+        rots.append(pert.rot)
+        trans.append(pert.trans)
+    state = WindowState(
+        rot=jnp.stack(rots),
+        trans=jnp.stack(trans),
+        ang_vel=jnp.tile(twist[:3] + 0.1, (t, 1)),
+        vel=jnp.tile(twist[3:] + 0.01, (t, 1)),
+    )
+    valid = jnp.ones((t,), dtype=state.trans.dtype)
+    solved = {}
+    for solver in ("block", "jacfwd"):
+        cfg = SmootherConfig(window=t, dt=DT, vel_frame="body", max_iterations=10, solver=solver)
+        solved[solver], _ = lm_solve(
+            cfg, state, meas, valid, k, corners, gt_poses[0], twist[:3], twist[3:]
+        )
+    np.testing.assert_allclose(
+        np.asarray(solved["block"].trans), np.asarray(solved["jacfwd"].trans), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(solved["block"].rot), np.asarray(solved["jacfwd"].rot), atol=1e-8
+    )
+
+
+def test_fixed_lag_gn_mode_tracks_stream():
+    """Incremental Gauss-Newton (accept_reject=False, 4 iterations) — the
+    production streaming config — must track as tightly as full LM."""
+    t_frames = 14
+    window = 6
+    k, corners, gt_poses, meas, twist = _simulate(t_frames, noise_px=0.2)
+    cfg = SmootherConfig(
+        window=window, dt=DT, vel_frame="body", max_iterations=4,
+        accept_reject=False, sigma_prior_pose=1.0, sigma_prior_vel=10.0,
+    )
+    smoother = FixedLagSmoother(cfg, k, corners, dtype=jnp.float64)
+    carry = smoother.init(initial_pose=gt_poses[0])
+    update = jax.jit(smoother.update)
+    errs = []
+    for i in range(t_frames):
+        carry, pose = update(carry, meas[i])
+        errs.append(float(jnp.linalg.norm(lie.se3_log(lie.se3_between(pose, gt_poses[i])))))
+    assert max(errs[window:]) < 2e-2, errs
