@@ -35,8 +35,13 @@ def save_train_state(directory: str, state: dict) -> None:
     _checkpointer().save(directory, state, force=True)
 
 
-def restore_train_state(directory: str) -> dict:
-    return _checkpointer().restore(os.path.abspath(directory))
+def restore_train_state(directory: str, target: dict | None = None) -> dict:
+    """Restores a train-state pytree. Pass `target` (a template with the
+    same structure, e.g. a freshly-initialized state) to recover custom
+    container types like optax NamedTuple optimizer states."""
+    if target is not None:
+        target = jax.tree.map(np.asarray, target)
+    return _checkpointer().restore(os.path.abspath(directory), item=target)
 
 
 def load_model(path: str) -> tuple[dict[str, Any], dict[str, Any]]:

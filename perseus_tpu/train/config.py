@@ -58,6 +58,17 @@ class TrainConfig:
     # weights; models.py:20 — supply them via this converter path).
     init_checkpoint: str = ""
 
+    # Resume a previous run exactly (params, optimizer state, epoch, LR
+    # schedule) from its orbax checkpoint dir. The reference has no resume
+    # path (SURVEY.md section 5); here restart-from-checkpoint is the
+    # failure-recovery story.
+    resume: str = ""
+
+    # When set, write a jax.profiler trace of a few steady-state steps to
+    # this directory (viewable in TensorBoard / xprof).
+    profile_dir: str = ""
+    profile_steps: int = 5
+
     # Cache decoded images in host RAM (skips per-epoch PNG/TIFF decode).
     cache_dataset: bool = False
 

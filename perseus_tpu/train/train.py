@@ -25,6 +25,7 @@ all-reduce + host-side Kornia augmentation + AMP GradScaler:
 from __future__ import annotations
 
 import functools
+import os
 import time
 from typing import Any, NamedTuple
 
@@ -261,19 +262,51 @@ def train(cfg: TrainConfig) -> dict:
         out_shardings=replicated,
     )
 
-    run_id = ptlog.generate_id()
-    run = ptlog.init(cfg.wandb_project, config=cfg, run_id=run_id) if jax.process_index() == 0 else None
     scheduler = PlateauScheduler(
         cfg.learning_rate, cfg.plateau_patience, cfg.plateau_factor, cfg.min_learning_rate
     )
+    start_epoch = 0
+    if cfg.resume:
+        template = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "epoch": 0,
+            "lr": 0.0,
+        }
+        saved = ckpt.restore_train_state(cfg.resume, target=template)
+        replicated = NamedSharding(mesh, P())
+        state = TrainState(
+            params=jax.device_put(saved["params"], replicated),
+            batch_stats=jax.device_put(saved["batch_stats"], replicated),
+            opt_state=jax.device_put(saved["opt_state"], replicated),
+        )
+        start_epoch = int(saved.get("epoch", -1)) + 1
+        scheduler.lr = float(saved.get("lr", cfg.learning_rate))
+        state = state._replace(opt_state=set_learning_rate(state.opt_state, scheduler.lr))
+        run_id = os.path.basename(os.path.normpath(cfg.resume))
+    else:
+        run_id = ptlog.generate_id()
+    run = ptlog.init(cfg.wandb_project, config=cfg, run_id=run_id) if jax.process_index() == 0 else None
     run_key = jax.random.key(cfg.random_seed)
 
-    global_step = 0
+    global_step = start_epoch * max(1, len(train_dataset) // cfg.batch_size)
     last_val_loss = float("nan")
-    for epoch in range(cfg.n_epochs):
+    profiling = False
+    for epoch in range(start_epoch, cfg.n_epochs):
         epoch_losses = []
+        n_images = 0
         t0 = time.time()
         for batch in train_loader.epoch(epoch):
+            if (
+                cfg.profile_dir
+                and not profiling
+                and global_step == start_epoch + 2  # skip compile steps
+                and jax.process_index() == 0
+            ):
+                jax.profiler.start_trace(cfg.profile_dir)
+                profiling = True
+                profile_stop = global_step + cfg.profile_steps
             images_aug = _prepare_aug_batch(batch, cfg.in_channels, use_transplant)
             sharded = shard_batch(
                 {"images": np.asarray(images_aug), "coords": batch["pixel_coordinates"]}, mesh
@@ -282,13 +315,24 @@ def train(cfg: TrainConfig) -> dict:
             state, loss = train_step(state, sharded["images"], sharded["coords"], key)
             loss_val = float(loss)
             epoch_losses.append(loss_val)
+            n_images += images_aug.shape[0]
             if run is not None:
                 run.log({"loss": loss_val})
             global_step += 1
+            if profiling and global_step >= profile_stop:
+                jax.block_until_ready(loss)
+                jax.profiler.stop_trace()
+                profiling = False
         epoch_time = time.time() - t0
+        throughput = n_images * jax.process_count() / max(epoch_time, 1e-9)
 
         if epoch % cfg.print_epochs == 0 and jax.process_index() == 0:
-            print(f"[epoch {epoch}] avg loss {np.mean(epoch_losses):.5f} ({epoch_time:.1f}s)")
+            print(
+                f"[epoch {epoch}] avg loss {np.mean(epoch_losses):.5f}"
+                f" ({epoch_time:.1f}s, {throughput:,.0f} img/s)"
+            )
+        if run is not None:
+            run.log({"epoch_time_s": epoch_time, "train_images_per_sec": throughput})
 
         if epoch % cfg.val_epochs == 0:
             val_losses = []
