@@ -41,6 +41,10 @@ class KeypointDatasetConfig:
 
     dataset_path: str = "data/pruned_dataset/pruned.hdf5"
     lazy: bool = True
+    # Decode batches with the C++ thread-pool decoder (perseus_tpu.native.io)
+    # when it is available; falls back to the PIL path automatically.
+    native_decode: bool = True
+    decode_threads: int = 0  # 0 = one per CPU
 
 
 class PrunedKeypointDataset:
@@ -64,9 +68,21 @@ class PrunedKeypointDataset:
         self.asset_ids = self.split.asset_ids
         self.weights = self.split.weights
 
+        self._native = False
+        if cfg.native_decode:
+            from perseus_tpu.native import io as native_io
+
+            self._native = native_io.available()
+
         self._cache: list[dict] | None = None
         if cache:
-            self._cache = [self._load(i) for i in range(len(self))]
+            if self._native and len(self):
+                batch = self.batch(np.arange(len(self)))
+                self._cache = [
+                    {k: batch[k][i] for k in batch} for i in range(len(self))
+                ]
+            else:
+                self._cache = [self._load(i) for i in range(len(self))]
 
     def __len__(self) -> int:
         return len(self.split)
@@ -97,7 +113,32 @@ class PrunedKeypointDataset:
         return self._load(idx)
 
     def batch(self, indices: np.ndarray) -> dict:
-        """Stacks examples into contiguous (B, ...) arrays."""
+        """Stacks examples into contiguous (B, ...) arrays.
+
+        With the native decoder, the whole batch decodes in one GIL-free
+        C++ thread-pool call straight into the output buffers."""
+        if self._cache is None and self._native:
+            from perseus_tpu.native import io as native_io
+
+            idx = [int(i) for i in indices]
+            rgb, depth, seg, failures = native_io.decode_batch(
+                [self._resolve(self.split.image_filenames[i]) for i in idx],
+                [self._resolve(self.split.depth_filenames[i]) for i in idx],
+                [self._resolve(self.split.segmentation_filenames[i]) for i in idx],
+                np.asarray([self.asset_ids[i] for i in idx]),
+                self.H,
+                self.W,
+                threads=self.cfg.decode_threads,
+            )
+            if failures:  # fall back item-by-item for exact error surfaces
+                items = [self._load(i) for i in idx]
+                return {k: np.stack([it[k] for it in items]) for k in items[0]}
+            return {
+                "image": rgb,
+                "depth_image": depth,
+                "segmentation_image": seg,
+                "pixel_coordinates": np.stack([self.pixel_coordinates[i] for i in idx]),
+            }
         items = [self[int(i)] for i in indices]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}
 
