@@ -41,33 +41,34 @@ def bench_detector() -> float:
         np.random.default_rng(0).uniform(0, 1, size=(batch, 256, 256, 4)).astype(np.float32)
     )
 
+    # Chain K forwards INSIDE one jitted program with a data dependence
+    # (each iteration perturbs the input with the previous logits), so the
+    # measurement is pure device time: no per-call host round-trips, and no
+    # host-side execution caching can elide iterations.
+    K = 10
+
     @jax.jit
-    def forward(x):
-        return resnet.keypoint_cnn_apply_folded(folded, x, compute_dtype=jnp.bfloat16)
+    def forward_chain(x):
+        def body(x, _):
+            out = resnet.keypoint_cnn_apply_folded(folded, x, compute_dtype=jnp.bfloat16)
+            x = x + jnp.mean(out) * 1e-9
+            return x, jnp.mean(out)
+        _, outs = jax.lax.scan(body, x, None, length=K)
+        return outs
 
-    # warmup / compile
-    jax.block_until_ready(forward(images))
-
-    # blocking latency (diagnostic only; includes host round-trip)
-    t0 = time.perf_counter()
-    jax.block_until_ready(forward(images))
-    blocking_ms = (time.perf_counter() - t0) * 1e3
-
-    # pipelined throughput: keep the device queue full, block once
-    best_fps = 0.0
+    jax.block_until_ready(forward_chain(images))  # compile
+    times = []
     for _ in range(3):
-        n = 20
         t0 = time.perf_counter()
-        outs = [forward(images) for _ in range(n)]
-        jax.block_until_ready(outs[-1])
-        step = (time.perf_counter() - t0) / n
-        best_fps = max(best_fps, batch / step)
+        jax.block_until_ready(forward_chain(images))
+        times.append((time.perf_counter() - t0) / K)
+    step = min(times)
+    fps = batch / step
     print(
-        f"[bench] detector: batch={batch} pipelined {batch / best_fps * 1e3:.2f} ms/step"
-        f" -> {best_fps:,.0f} f/s (blocking single call: {blocking_ms:.1f} ms)",
+        f"[bench] detector: batch={batch} chained {step * 1e3:.2f} ms/step -> {fps:,.0f} f/s",
         file=sys.stderr,
     )
-    return best_fps
+    return fps
 
 
 def bench_smoother() -> float:

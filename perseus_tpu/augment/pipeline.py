@@ -102,9 +102,21 @@ class KeypointAugmentation:
     (reference: augmentations.py:481-488).
     """
 
-    def __init__(self, cfg: AugmentationConfig, train: bool = True) -> None:
+    def __init__(
+        self, cfg: AugmentationConfig, train: bool = True, fused: bool | None = None
+    ) -> None:
+        """`fused=True` routes the post-warp elementwise chain through the
+        single Pallas kernel in augment/fused.py (same distributions,
+        different RNG draws — one stream per stage instead of per op).
+
+        Default is the XLA (unfused) path: on the current Mosaic lowering
+        the fused kernel measures ~5 ms per 256x256x5 image (vs the whole
+        XLA chain being bandwidth-bound), so the kernel stays opt-in until
+        its per-step cost is profiled down; it remains golden-tested against
+        the jnp oracle either way."""
         self.cfg = cfg
         self.train = train
+        self.fused = bool(fused)
 
     def __call__(
         self, key: jax.Array, images: jnp.ndarray, pixel_coordinates: jnp.ndarray
@@ -139,6 +151,15 @@ class KeypointAugmentation:
                 mats = ops.affine_matrices(params, h, w)
                 images = ops.warp_affine_bilinear(images, mats)
                 coords = ops.transform_keypoints(coords, mats)
+
+            if self.fused:
+                # one Pallas kernel for the whole post-warp elementwise chain
+                from perseus_tpu.augment import fused as fused_mod
+
+                fused_params = fused_mod.sample_fused_params(keys[2], cfg, b, h, w, c)
+                images = fused_mod.fused_apply(images, fused_params)
+                coords = normalize_pixel_coordinates(coords, h, w)
+                return images, coords.reshape(*leading, -1)
 
             if cfg.random_erasing:
                 images = ops.random_erasing(

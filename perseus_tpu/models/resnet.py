@@ -200,10 +200,13 @@ def _basic_block(
 
 
 def _max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
-    """torch MaxPool2d(kernel=3, stride=2, padding=1): pads with -inf."""
+    """torch MaxPool2d(kernel=3, stride=2, padding=1): pads with -inf.
+
+    The init value must be the true -inf identity (finite dtype-min breaks
+    jax's reduce_window-max VJP for bf16: "Linearization failed...")."""
     return jax.lax.reduce_window(
         x,
-        -jnp.inf if x.dtype in (jnp.float32, jnp.float64) else jnp.finfo(x.dtype).min,
+        -jnp.inf,
         jax.lax.max,
         window_dimensions=(1, 3, 3, 1),
         window_strides=(1, 2, 2, 1),

@@ -205,3 +205,24 @@ def test_train_resume_continues(tiny_cfg, tmp_path):
     }
     saved = ckpt.restore_train_state(run_dir, target=template)
     assert jax.tree.structure(saved["opt_state"]) == jax.tree.structure(fresh.opt_state)
+
+
+def test_train_step_bf16_amp_differentiates(tiny_cfg):
+    """The amp=True (bf16 compute) path must be differentiable end to end —
+    regression for the reduce_window-max VJP breaking with a finite
+    (non -inf) init value under bf16."""
+    import dataclasses
+
+    cfg = dataclasses.replace(tiny_cfg, amp=True)
+    optimizer = train_mod.make_optimizer(cfg)
+    mesh = train_mod.make_mesh()
+    state = train_mod.init_state(cfg, optimizer, mesh)
+    aug = KeypointAugmentation(cfg.augmentation_config, train=True, fused=False)
+    step = jax.jit(train_mod.make_train_step(cfg, optimizer, aug))
+    rng = np.random.default_rng(2)
+    images = jnp.asarray(rng.uniform(0, 1, (8, 32, 32, 4)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(0, 31, (8, 8, 2)).astype(np.float32))
+    state, loss = step(state, images, coords, jax.random.key(0))
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(state.params):
+        assert np.all(np.isfinite(np.asarray(leaf)))
