@@ -302,19 +302,74 @@ def fold_batchnorm(
     return folded
 
 
+def space_to_depth_stem_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """Transforms the 7x7 stride-2 stem kernel (7, 7, C, O) into the
+    equivalent 4x4 stride-1 kernel (4, 4, 4C, O) over space-to-depth(2)
+    input.
+
+    The stock stem runs a 7x7 conv with C_in = 3 or 4 on the MXU's
+    128-wide contraction — ~3% utilization for ~22% of the network's FLOPs.
+    Rewriting the stride-2 conv over 2x2-packed input (the MLPerf ResNet
+    trick) quadruples the contraction depth and removes the stride.
+
+    Derivation: out(y,x) = sum_k w[ky,kx] in(2y+ky-3, 2x+kx-3); writing
+    2y+ky-3 = 2(y+t) + d with d in {0,1} maps each ky to a unique
+    (t, d): ky 0..6 -> t in [-2,1] (4 taps), d = (ky-3) mod 2. Packed
+    channel order is (dy*2 + dx)*C + c, matching
+    ``x.reshape(B,H/2,2,W/2,2,C) -> (B,H/2,W/2,2,2,C) -> (B,H/2,W/2,4C)``.
+    The conv then uses asymmetric padding (2, 1) per spatial dim.
+    """
+    c_in, c_out = w.shape[2], w.shape[3]
+    w2 = jnp.zeros((4, 4, 4 * c_in, c_out), dtype=w.dtype)
+    for ky in range(7):
+        t_y, d_y = (ky - 3 - ((ky - 3) % 2)) // 2, (ky - 3) % 2
+        for kx in range(7):
+            t_x, d_x = (kx - 3 - ((kx - 3) % 2)) // 2, (kx - 3) % 2
+            ch = (d_y * 2 + d_x) * c_in
+            w2 = w2.at[t_y + 2, t_x + 2, ch : ch + c_in, :].set(w[ky, kx])
+    return w2
+
+
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (dy, dx, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
 def keypoint_cnn_apply_folded(
     folded: dict[str, jnp.ndarray],
     x: jnp.ndarray,
     compute_dtype: Any = jnp.bfloat16,
+    s2d_stem: bool = False,
 ) -> jnp.ndarray:
     """Inference with BN pre-folded: pure conv+bias+relu chains. NHWC in,
-    (B, 2*n_keypoints) float32 out."""
+    (B, 2*n_keypoints) float32 out. ``s2d_stem`` runs the stem as a 4x4
+    stride-1 conv over space-to-depth input (numerically equal; see
+    :func:`space_to_depth_stem_kernel`). Off by default: on v5e the packing
+    transpose costs more than the stride-2 stem saves (13.3 -> 15.0 ms per
+    256-batch measured), so it stays an option for chips where the narrow
+    stem is the bottleneck."""
 
     def conv_bias(h, name, stride, padding):
         out = _conv(h, folded[f"{name}.weight"], stride, padding, compute_dtype)
         return out + folded[f"{name}.bias"].astype(out.dtype)
 
-    out = jax.nn.relu(conv_bias(x, "conv1", 2, 3))
+    if s2d_stem:
+        w2 = space_to_depth_stem_kernel(folded["conv1.weight"])
+        precision = None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        out = jax.lax.conv_general_dilated(
+            space_to_depth(x).astype(compute_dtype),
+            w2.astype(compute_dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
+        out = jax.nn.relu(out + folded["conv1.bias"].astype(out.dtype))
+    else:
+        out = jax.nn.relu(conv_bias(x, "conv1", 2, 3))
     out = _max_pool_3x3_s2(out)
     for stage_idx, (num_blocks, _) in enumerate(RESNET18_STAGES):
         for block_idx in range(num_blocks):

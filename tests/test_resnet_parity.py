@@ -125,3 +125,16 @@ def test_ddp_module_prefix_stripped():
     params, stats = convert.from_torch_state_dict(sd)
     assert "conv1.weight" in params
     assert "bn1.running_mean" in stats
+
+
+def test_space_to_depth_stem_equivalent():
+    """The 4x4/s1 space-to-depth stem must equal the 7x7/s2 stem
+    numerically (folded inference path)."""
+    from perseus_tpu.models import resnet
+
+    params, stats = resnet.init_keypoint_cnn(jax.random.key(5), 8, 4)
+    folded = resnet.fold_batchnorm(params, stats)
+    x = jnp.asarray(np.random.default_rng(5).uniform(0, 1, (2, 64, 64, 4)).astype(np.float32))
+    a = resnet.keypoint_cnn_apply_folded(folded, x, compute_dtype=jnp.float32, s2d_stem=False)
+    b = resnet.keypoint_cnn_apply_folded(folded, x, compute_dtype=jnp.float32, s2d_stem=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
