@@ -169,7 +169,10 @@ def make_train_step(
 def make_eval_step(cfg: TrainConfig, val_augment: KeypointAugmentation):
     compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
 
-    def step(state: TrainState, images: jnp.ndarray, coords: jnp.ndarray):
+    def step(state: TrainState, images: jnp.ndarray, coords: jnp.ndarray, weights: jnp.ndarray):
+        """Returns (loss_sum, count): per-element SmoothL1 means weighted by
+        `weights` (0 marks padding rows added so partial final batches stay
+        divisible by the mesh)."""
         key = jax.random.key(0)  # val augs are deterministic
         images, target = val_augment(key, images, coords)
         images = images[..., : cfg.in_channels]
@@ -177,7 +180,8 @@ def make_eval_step(cfg: TrainConfig, val_augment: KeypointAugmentation):
         pred, _ = resnet.keypoint_cnn_apply(
             state.params, state.batch_stats, images, train=False, compute_dtype=compute_dtype
         )
-        return smooth_l1_loss(pred, target)
+        per_elem = jnp.mean(optax.huber_loss(pred, target, delta=1.0), axis=-1)
+        return jnp.sum(per_elem * weights), jnp.sum(weights)
 
     return step
 
@@ -258,8 +262,8 @@ def train(cfg: TrainConfig) -> dict:
     )
     eval_step = jax.jit(
         make_eval_step(cfg, val_augment),
-        in_shardings=(replicated, data_sharded, data_sharded),
-        out_shardings=replicated,
+        in_shardings=(replicated, data_sharded, data_sharded, data_sharded),
+        out_shardings=(replicated, replicated),
     )
 
     scheduler = PlateauScheduler(
@@ -335,14 +339,24 @@ def train(cfg: TrainConfig) -> dict:
             run.log({"epoch_time_s": epoch_time, "train_images_per_sec": throughput})
 
         if epoch % cfg.val_epochs == 0:
-            val_losses = []
+            loss_sum, count = 0.0, 0.0
+            n_dev = len(mesh.devices.reshape(-1))
             for batch in val_loader.epoch(0):
-                images = _prepare_aug_batch(batch, cfg.in_channels, use_transplant=False)
+                images = np.asarray(_prepare_aug_batch(batch, cfg.in_channels, use_transplant=False))
+                coords_np = np.asarray(batch["pixel_coordinates"], dtype=np.float32)
+                n_real = images.shape[0]
+                pad = (-n_real) % n_dev  # keep partial batches mesh-divisible
+                weights = np.concatenate([np.ones(n_real, np.float32), np.zeros(pad, np.float32)])
+                if pad:
+                    images = np.concatenate([images, np.tile(images[:1], (pad, 1, 1, 1))])
+                    coords_np = np.concatenate([coords_np, np.tile(coords_np[:1], (pad, 1, 1))])
                 sharded = shard_batch(
-                    {"images": np.asarray(images), "coords": batch["pixel_coordinates"]}, mesh
+                    {"images": images, "coords": coords_np, "weights": weights}, mesh
                 )
-                val_losses.append(float(eval_step(state, sharded["images"], sharded["coords"])))
-            last_val_loss = float(np.mean(val_losses)) if val_losses else float("nan")
+                s, n = eval_step(state, sharded["images"], sharded["coords"], sharded["weights"])
+                loss_sum += float(s)
+                count += float(n)
+            last_val_loss = loss_sum / count if count else float("nan")
             if run is not None:
                 run.log({"val_loss": last_val_loss})
                 print(f"[epoch {epoch}] val loss {last_val_loss:.5f}")
