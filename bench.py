@@ -107,6 +107,46 @@ def bench_smoother() -> float:
     return p50_ms
 
 
+def bench_streaming() -> float:
+    """End-to-end per-frame latency of the fused streaming step (preprocess
+    -> detector -> denormalize -> smoother), chained on device — the
+    BASELINE north-star 'one jitted XLA program' loop."""
+    from perseus_tpu.models import resnet
+    from perseus_tpu.runtime.streaming import StreamingConfig, StreamingPipeline
+    from perseus_tpu.smoother.lm import SmootherConfig
+
+    params, stats = resnet.init_keypoint_cnn(jax.random.key(0), 8, 4)
+    cfg = StreamingConfig(
+        num_channels=4, model_h=256, model_w=256, amp=True, smooth=True,
+        smoother=SmootherConfig(window=24, max_iterations=4, accept_reject=False),
+    )
+    pipeline = StreamingPipeline(cfg, params=params, batch_stats=stats)
+    carry = pipeline.init_carry()
+    k = 16
+    frames = jnp.asarray(
+        np.random.default_rng(2).uniform(0, 1, size=(k, 376, 672, 4)).astype(np.float32)
+    )  # ZED VGA-ish resolution, cropped on device
+
+    step = pipeline._step
+
+    @jax.jit
+    def run(c, fs):
+        def body(c, f):
+            kps, _, c2, pose = step(f, c)
+            return c2, pose.trans
+        return jax.lax.scan(body, c, fs)
+
+    jax.block_until_ready(run(carry, frames)[1])
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(carry, frames)[1])
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times)) / k * 1e3
+    print(f"[bench] streaming: frame->keypoints->pose {p50:.3f} ms/frame (device-true)", file=sys.stderr)
+    return p50
+
+
 def main() -> None:
     fps = bench_detector()
     try:
@@ -114,6 +154,11 @@ def main() -> None:
     except Exception as exc:  # keep the headline metric robust
         print(f"[bench] smoother bench failed: {exc}", file=sys.stderr)
         p50 = float("nan")
+    try:
+        stream_ms = bench_streaming()
+    except Exception as exc:
+        print(f"[bench] streaming bench failed: {exc}", file=sys.stderr)
+        stream_ms = float("nan")
 
     result = {
         "metric": "detector_inference_fps_per_chip_256x256_rgbd",
@@ -121,6 +166,7 @@ def main() -> None:
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / DETECTOR_TARGET_FPS, 4),
         "smoother_p50_ms": round(p50, 3) if np.isfinite(p50) else None,
+        "streaming_ms_per_frame": round(stream_ms, 3) if np.isfinite(stream_ms) else None,
     }
     print(json.dumps(result))
 
