@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import Iterable
-
 import h5py
 import numpy as np
 from PIL import Image

@@ -27,11 +27,7 @@ import numpy as np
 
 from perseus_tpu import ROOT
 from perseus_tpu.augment.ops import depth_plane_clamp
-from perseus_tpu.camera import (
-    Intrinsics,
-    center_crop_hw,
-    denormalize_pixel_coordinates,
-)
+from perseus_tpu.camera import center_crop_hw, denormalize_pixel_coordinates
 from perseus_tpu.datagen.labeling import cube_corners
 from perseus_tpu.lie import SE3
 from perseus_tpu.models import resnet

@@ -24,7 +24,6 @@ all-reduce + host-side Kornia augmentation + AMP GradScaler:
 
 from __future__ import annotations
 
-import functools
 import os
 import time
 from typing import Any, NamedTuple
