@@ -147,6 +147,47 @@ def bench_streaming() -> float:
     return p50
 
 
+def bench_train_step() -> float:
+    """Full train step (augmentation -> fwd/bwd bf16 -> clip -> AdamW) at the
+    reference's batch size, K steps chained in one jitted scan."""
+    from perseus_tpu.augment.pipeline import KeypointAugmentation
+    from perseus_tpu.train import train as tm
+    from perseus_tpu.train.config import TrainConfig
+
+    b = 256
+    cfg = TrainConfig(batch_size=b, in_channels=4, amp=True)
+    rng = np.random.default_rng(3)
+    images = jnp.asarray(rng.uniform(0, 1, (b, 256, 256, 5)).astype(np.float32))
+    coords = jnp.asarray(rng.uniform(0, 255, (b, 8, 2)).astype(np.float32))
+    optimizer = tm.make_optimizer(cfg)
+    state = tm.init_state(cfg, optimizer, tm.make_mesh(n_devices=1))
+    aug = KeypointAugmentation(cfg.augmentation_config, train=True)
+    step = tm.make_train_step(cfg, optimizer, aug)
+    k = 4
+
+    @jax.jit
+    def run(st, img, crd, key):
+        def body(carry, i):
+            st, img = carry
+            st2, loss = step(st, img, crd, jax.random.fold_in(key, i))
+            return (st2, img + loss * 1e-9), loss  # data dependence
+        (st, _), losses = jax.lax.scan(body, (st, img), jnp.arange(k))
+        return losses
+
+    jax.block_until_ready(run(state, images, coords, jax.random.key(0)))
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(state, images, coords, jax.random.key(1)))
+        times.append((time.perf_counter() - t0) / k)
+    ips = b / min(times)
+    print(
+        f"[bench] train: batch={b} {min(times) * 1e3:.1f} ms/step -> {ips:,.0f} img/s (device-true)",
+        file=sys.stderr,
+    )
+    return ips
+
+
 def main() -> None:
     fps = bench_detector()
     try:
@@ -159,6 +200,11 @@ def main() -> None:
     except Exception as exc:
         print(f"[bench] streaming bench failed: {exc}", file=sys.stderr)
         stream_ms = float("nan")
+    try:
+        train_ips = bench_train_step()
+    except Exception as exc:
+        print(f"[bench] train bench failed: {exc}", file=sys.stderr)
+        train_ips = float("nan")
 
     result = {
         "metric": "detector_inference_fps_per_chip_256x256_rgbd",
@@ -167,6 +213,7 @@ def main() -> None:
         "vs_baseline": round(fps / DETECTOR_TARGET_FPS, 4),
         "smoother_p50_ms": round(p50, 3) if np.isfinite(p50) else None,
         "streaming_ms_per_frame": round(stream_ms, 3) if np.isfinite(stream_ms) else None,
+        "train_images_per_sec": round(train_ips, 1) if np.isfinite(train_ips) else None,
     }
     print(json.dumps(result))
 
