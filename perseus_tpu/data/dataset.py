@@ -195,13 +195,27 @@ class PrefetchingLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded put that stays responsive to consumer shutdown
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
-            for b in range(nb):
-                if stop.is_set():
-                    return
-                idx = order[b * self.batch_size : (b + 1) * self.batch_size]
-                q.put(self.dataset.batch(idx))
-            q.put(None)
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        return
+                    idx = order[b * self.batch_size : (b + 1) * self.batch_size]
+                    if not put(self.dataset.batch(idx)):
+                        return
+                put(None)
+            except BaseException as exc:  # surface decode errors in the consumer
+                put(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -210,6 +224,8 @@ class PrefetchingLoader:
                 item = q.get()
                 if item is None:
                     return
+                if isinstance(item, BaseException):
+                    raise item
                 yield item
         finally:
             stop.set()

@@ -79,3 +79,8 @@ class TrainConfig:
 
     # Gradient clipping max-norm (reference: train.py:302).
     grad_clip_norm: float = 1.0
+
+    # AdamW decoupled weight decay. torch.optim.AdamW's default is 1e-2
+    # (the reference uses it implicitly, train.py:199); optax's default is
+    # 1e-4, so this is passed explicitly to keep the recipes equivalent.
+    weight_decay: float = 1e-2

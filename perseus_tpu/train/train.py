@@ -87,14 +87,27 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     schedule changes LR without recompiling the step."""
     return optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.inject_hyperparams(optax.adamw)(learning_rate=cfg.learning_rate),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay
+        ),
     )
 
 
 def set_learning_rate(opt_state, lr: float):
-    inner = opt_state[1]  # inject_hyperparams state of the adamw stage
-    new_inner = inner._replace(hyperparams={**inner.hyperparams, "learning_rate": jnp.asarray(lr, dtype=jnp.float32)})
-    return (opt_state[0], new_inner)
+    # locate the inject_hyperparams stage instead of hard-indexing the chain
+    stages = list(opt_state)
+    hits = [
+        i
+        for i, s in enumerate(stages)
+        if hasattr(s, "hyperparams") and "learning_rate" in getattr(s, "hyperparams", {})
+    ]
+    if len(hits) != 1:
+        raise ValueError(f"expected exactly one learning_rate stage, found {len(hits)}")
+    inner = stages[hits[0]]
+    stages[hits[0]] = inner._replace(
+        hyperparams={**inner.hyperparams, "learning_rate": jnp.asarray(lr, dtype=jnp.float32)}
+    )
+    return tuple(stages)
 
 
 def _prepare_aug_batch(batch: dict, in_channels: int, use_transplant: bool) -> np.ndarray:
