@@ -31,6 +31,34 @@ import numpy as np
 DETECTOR_TARGET_FPS = 10_000.0
 
 
+def _force(out) -> None:
+    """Forces execution by reading results back to host. Through the serving
+    tunnel, block_until_ready can return before remote execution completes;
+    a host transfer cannot."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf)
+
+
+def _time_salted(prepare, execute, reps: int = 3, warmups: int = 2) -> float:
+    """min-of-reps wall time of `execute(*prepare(i))`, i distinct per call;
+    only `execute` is timed.
+
+    Every call must see distinct inputs: the tunnel caches executions by
+    (program, inputs), so identical calls return instantly and would fake a
+    ~0 ms measurement. Warmup executions absorb compilation and the one-time
+    program-load cost of the first few remote executions."""
+    for i in range(warmups):
+        _force(execute(*prepare(1000 + i)))
+    times = []
+    for i in range(reps):
+        args = prepare(i)
+        jax.block_until_ready(args)  # stage inputs before the clock starts
+        t0 = time.perf_counter()
+        _force(execute(*args))
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
 def bench_detector() -> float:
     from perseus_tpu.models import resnet
 
@@ -56,13 +84,14 @@ def bench_detector() -> float:
         _, outs = jax.lax.scan(body, x, None, length=K)
         return outs
 
-    jax.block_until_ready(forward_chain(images))  # compile
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(forward_chain(images))
-        times.append((time.perf_counter() - t0) / K)
-    step = min(times)
+    base = np.asarray(images)
+    step = (
+        _time_salted(
+            lambda i: (jnp.asarray(base + np.float32(1e-6 * (i + 1))),),
+            forward_chain,
+        )
+        / K
+    )
     fps = batch / step
     print(
         f"[bench] detector: batch={batch} chained {step * 1e3:.2f} ms/step -> {fps:,.0f} f/s",
@@ -96,13 +125,16 @@ def bench_smoother() -> float:
 
         return jax.lax.scan(body, c, ms)
 
-    jax.block_until_ready(run_seq(carry, meas_seq)[1])
-    times = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run_seq(carry, meas_seq)[1])
-        times.append(time.perf_counter() - t0)
-    p50_ms = float(np.median(times)) / k * 1e3
+    base = np.asarray(meas_seq)
+    p50_ms = (
+        _time_salted(
+            lambda i: (carry, jnp.asarray(base + np.float32(1e-4 * (i + 1)))),
+            run_seq,
+            reps=5,
+        )
+        / k
+        * 1e3
+    )
     print(f"[bench] smoother: window=24 p50={p50_ms:.3f} ms/update (device-true)", file=sys.stderr)
     return p50_ms
 
@@ -136,13 +168,16 @@ def bench_streaming() -> float:
             return c2, pose.trans
         return jax.lax.scan(body, c, fs)
 
-    jax.block_until_ready(run(carry, frames)[1])
-    times = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(carry, frames)[1])
-        times.append(time.perf_counter() - t0)
-    p50 = float(np.median(times)) / k * 1e3
+    base = np.asarray(frames)
+    p50 = (
+        _time_salted(
+            lambda i: (carry, jnp.asarray(base + np.float32(1e-6 * (i + 1)))),
+            run,
+            reps=5,
+        )
+        / k
+        * 1e3
+    )
     print(f"[bench] streaming: frame->keypoints->pose {p50:.3f} ms/frame (device-true)", file=sys.stderr)
     return p50
 
@@ -174,15 +209,16 @@ def bench_train_step() -> float:
         (st, _), losses = jax.lax.scan(body, (st, img), jnp.arange(k))
         return losses
 
-    jax.block_until_ready(run(state, images, coords, jax.random.key(0)))
-    times = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(state, images, coords, jax.random.key(1)))
-        times.append((time.perf_counter() - t0) / k)
-    ips = b / min(times)
+    step_s = (
+        _time_salted(
+            lambda i: (state, images, coords, jax.random.key(i)),
+            run,
+        )
+        / k
+    )
+    ips = b / step_s
     print(
-        f"[bench] train: batch={b} {min(times) * 1e3:.1f} ms/step -> {ips:,.0f} img/s (device-true)",
+        f"[bench] train: batch={b} {step_s * 1e3:.1f} ms/step -> {ips:,.0f} img/s (device-true)",
         file=sys.stderr,
     )
     return ips

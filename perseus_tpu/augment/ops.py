@@ -296,12 +296,24 @@ def warp_affine_bilinear(
       * "mxu" — exact Catmull-Smith two-pass resampling where each 1-D pass
         is a one-hot matmul on the MXU (see :func:`_warp_affine_mxu`);
         ~40x faster on TPU. Requires square images.
-      * "auto" — "mxu" on TPU backends for square images, else "gather".
+      * "pallas" — the same two-pass resampling as a Pallas kernel whose 1-D
+        passes are hardware gathers (tpu.dynamic_gather) in f32 — no one-hot
+        selector traffic, exact for identity affines. Requires square images.
+      * "auto" — "pallas" on TPU backends for square images, else "gather".
     """
     b, h, w, _ = images.shape
     if method == "auto":
-        method = "mxu" if (jax.default_backend() == "tpu" and h == w) else "gather"
+        method = "pallas" if (jax.default_backend() == "tpu" and h == w) else "gather"
     inv = _invert_affine(mats)
+    if method == "pallas":
+        from perseus_tpu.augment.warp_pallas import warp_affine_pallas
+
+        images_sw, parts = _two_pass_setup(images, inv)
+        return warp_affine_pallas(
+            images_sw,
+            jnp.stack(parts, axis=-1),
+            interpret=jax.default_backend() != "tpu",
+        )
     if method == "mxu":
         return _warp_affine_mxu(images, inv)
 
@@ -378,23 +390,19 @@ def _axis_resample(
     return out.transpose(1, 0, 2, 3, 4).reshape(b, hout, w, c)
 
 
-def _warp_affine_mxu(
-    images: jnp.ndarray, inv: jnp.ndarray, pick_dtype=jnp.bfloat16
-) -> jnp.ndarray:
-    """Exact two-pass affine warp as MXU one-hot matmuls (square images).
+def _two_pass_setup(images: jnp.ndarray, inv: jnp.ndarray):
+    """Swap prologue + per-image parameters of the Catmull-Smith two-pass
+    affine decomposition (shared by the MXU and Pallas warp backends).
 
-    Catmull-Smith decomposition: a vertical resample with per-column affine
-    row maps, then a horizontal resample — each pass contracts over one
-    image axis on the MXU instead of issuing per-pixel gathers. The
-    decomposition's first pass needs |i00| >= |i10| (it divides by i00, and
-    i00 -> 0 at +-90 deg rotations); images failing that are transposed and
-    their inverse-map rows/columns swapped, which is the same warp relabeled
-    — no second pass order needed.
+    The decomposition's first pass needs |i00| >= |i10| (it divides by i00,
+    and i00 -> 0 at +-90 deg rotations); images failing that are transposed
+    and their inverse-map rows/columns swapped, which is the same warp
+    relabeled — no second pass order needed. Returns the (possibly
+    transposed) images and (i00, i01, t0, p, q, r): the pass-2 horizontal
+    map and the pass-1 vertical map coefficients.
     """
     b, h, w, c = images.shape
-    assert h == w, "mxu warp requires square images"
-    f32 = jnp.float32
-
+    assert h == w, "two-pass warp requires square images"
     i00, i01, t0 = inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2]
     i10, i11, t1 = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
     swap = jnp.abs(i00) < jnp.abs(i10)
@@ -410,6 +418,22 @@ def _warp_affine_mxu(
     p = i10 / i00
     q = i11 - p * i01
     r = t1 - p * t0
+    return images, (i00, i01, t0, p, q, r)
+
+
+def _warp_affine_mxu(
+    images: jnp.ndarray, inv: jnp.ndarray, pick_dtype=jnp.bfloat16
+) -> jnp.ndarray:
+    """Exact two-pass affine warp as MXU one-hot matmuls (square images).
+
+    Catmull-Smith decomposition: a vertical resample with per-column affine
+    row maps, then a horizontal resample — each pass contracts over one
+    image axis on the MXU instead of issuing per-pixel gathers. See
+    :func:`_two_pass_setup` for the swap prologue.
+    """
+    b, h, w, c = images.shape
+    f32 = jnp.float32
+    images, (i00, i01, t0, p, q, r) = _two_pass_setup(images, inv)
     ys = jnp.arange(h, dtype=f32)
     xs = jnp.arange(w, dtype=f32)
     rho = (

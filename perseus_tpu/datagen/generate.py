@@ -35,7 +35,22 @@ from perseus_tpu import lie
 from perseus_tpu.data import schema
 from perseus_tpu.datagen import render
 
-__all__ = ["VideoConfig", "generate_one_video", "generate_all_videos"]
+__all__ = ["CUBE_FACE_PALETTE", "VideoConfig", "generate_one_video", "generate_all_videos"]
+
+# Fixed six-face cube albedos in BOX_FACES face order (-x, +x, -y, +y, -z,
+# +z): six distinct hues, constant across the dataset so face identity is a
+# stable, learnable signal (the mjc.mtl role).
+CUBE_FACE_PALETTE = np.array(
+    [
+        [0.85, 0.15, 0.15],  # -x red
+        [0.15, 0.70, 0.20],  # +x green
+        [0.15, 0.25, 0.85],  # -y blue
+        [0.90, 0.80, 0.15],  # +y yellow
+        [0.80, 0.20, 0.75],  # -z magenta
+        [0.10, 0.75, 0.75],  # +z cyan
+    ],
+    dtype=np.float32,
+)
 
 
 @dataclass(frozen=True)
@@ -139,7 +154,15 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
         positions.append(p)
         rotations.append(r)
 
-    colors = rng.uniform(0.15, 0.95, size=(len(half_extents), 3))
+    # Per-face albedos (O, 6, 3). The cube's six faces get a FIXED distinct
+    # palette — the analog of the reference mjc asset's six face textures
+    # (data_generation/assets/mjc.mtl), which is what makes corner identity
+    # learnable — modulated per video like the reference's randomized
+    # Principled-BSDF material (generate_one_video.py:281-295). Distractors
+    # get random independent face colors.
+    colors = rng.uniform(0.15, 0.95, size=(len(half_extents), 6, 3))
+    material_gain = rng.uniform(0.7, 1.1)
+    colors[0] = np.clip(CUBE_FACE_PALETTE * material_gain, 0.05, 1.0)
 
     # camera: on a shell around the scene, looking at the cube spawn region
     target = np.array([0.0, 0.0, 1.0])

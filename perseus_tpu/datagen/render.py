@@ -16,9 +16,11 @@ labeler's (datagen/labeling.py), so projected keypoints align with rendered
 pixels by construction. Scenes built with this renderer flow through the
 real pipeline: label -> merge -> prune -> train.
 
-For users with a Kubric/Blender installation, the reference-equivalent
-orchestration lives in datagen/generate.py and falls back to this renderer
-when kubric is absent.
+This renderer is the pipeline's only rendering backend (there is no
+Kubric/Blender path in this framework); datagen/generate.py orchestrates it.
+Cube faces carry six distinct albedos plus a procedural checker so corner
+identity is learnable (the role of the reference mjc asset's six face
+textures).
 """
 
 from __future__ import annotations
@@ -53,6 +55,17 @@ _CORNER_SIGNS = np.array(
     dtype=np.float32,
 )
 
+# face index of each triangle (two triangles per face, in BOX_FACES order)
+_TRI_FACE = np.arange(12, dtype=np.int32) // 2
+
+# per-triangle corner UVs inside the face's unit square. Every face's quad
+# is listed cyclically [a, b, c, d] as triangles [a, b, c], [a, c, d], so the
+# UV pattern is shared: a=(0,0), b=(1,0), c=(1,1), d=(0,1).
+_TRI_UV = np.array(
+    [[[0, 0], [1, 0], [1, 1]], [[0, 0], [1, 1], [0, 1]]] * 6,
+    dtype=np.float32,
+)  # (12, 3, 2)
+
 
 def box_vertices(half_extents: jnp.ndarray) -> jnp.ndarray:
     """(..., 3) half extents -> (..., 8, 3) corners, cube_corners ordering."""
@@ -76,9 +89,9 @@ def value_noise(key: jax.Array, h: int, w: int, cells: int = 8) -> jnp.ndarray:
 
 
 def _shade(normals_world: jnp.ndarray, base_color: jnp.ndarray, light_dir: jnp.ndarray):
-    """Two-sided Lambert: (F, 3) normals, (3,) color -> (F, 3) face colors."""
+    """Two-sided Lambert: (F, 3) normals, (F, 3) per-tri albedo -> colors."""
     lam = jnp.abs(normals_world @ light_dir)
-    return jnp.clip(base_color[None, :] * (0.35 + 0.65 * lam[:, None]), 0.0, 1.0)
+    return jnp.clip(base_color * (0.35 + 0.65 * lam[:, None]), 0.0, 1.0)
 
 
 def render_frames(
@@ -86,7 +99,7 @@ def render_frames(
     obj_rot: jnp.ndarray,  # (T, O, 3, 3) object-to-world rotations
     obj_trans: jnp.ndarray,  # (T, O, 3)
     half_extents: jnp.ndarray,  # (O, 3)
-    colors: jnp.ndarray,  # (O, 3) base albedo
+    colors: jnp.ndarray,  # (O, 3) per-object OR (O, 6, 3) per-face albedo
     active: jnp.ndarray,  # (O,) 0/1 — padding mask for variable object count
     cam_pose7_wxyz: jnp.ndarray,  # (T, 7) Blender camera-to-world
     fov: float,
@@ -94,6 +107,7 @@ def render_frames(
     width: int,
     light_dir: jnp.ndarray | None = None,
     far: float = 20.0,
+    checker: float = 0.3,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Renders T frames of O boxes.
 
@@ -102,9 +116,19 @@ def render_frames(
     order matches the metadata "instances" list so the dataset loader's
     ``seg == asset_id + 1`` binarization works unchanged
     (reference: perseus/detector/data.py:88-91).
+
+    ``colors`` may be per-face (O, 6, 3): six DISTINCT albedos make the cube
+    face-identifiable — the property that makes corner-identity regression
+    well-posed, which the reference gets from the mjc asset's six face
+    textures (reference: data_generation/assets/mjc.mtl, six map_Kd entries).
+    ``checker`` additionally modulates each face with a perspective-correct
+    2x2 checkerboard of the given amplitude (0 disables), the procedural
+    stand-in for image textures.
     """
     t, o = obj_rot.shape[:2]
     dtype = obj_trans.dtype
+    if colors.ndim == 2:  # per-object albedo -> same albedo on all six faces
+        colors = jnp.broadcast_to(colors[:, None, :], (colors.shape[0], 6, 3))
     if light_dir is None:
         light_dir = jnp.asarray([0.3, -0.5, 0.8], dtype=dtype)
     light_dir = light_dir / jnp.linalg.norm(light_dir)
@@ -142,7 +166,8 @@ def render_frames(
         tri_w = verts_world[:, faces]  # (O, 12, 3, 3)
         n = jnp.cross(tri_w[..., 1, :] - tri_w[..., 0, :], tri_w[..., 2, :] - tri_w[..., 0, :])
         n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
-        face_colors = jax.vmap(_shade, in_axes=(0, 0, None))(n, colors, light_dir)  # (O, 12, 3)
+        tri_albedo = colors[:, jnp.asarray(_TRI_FACE)]  # (O, 12, 3)
+        face_colors = jax.vmap(_shade, in_axes=(0, 0, None))(n, tri_albedo, light_dir)
 
         def raster_object(buffers, obj):
             zbuf, cbuf, sbuf = buffers
@@ -186,6 +211,22 @@ def render_frames(
             best = jnp.argmin(tri_z, axis=0)  # (H, W)
             best_z = jnp.take_along_axis(tri_z, best[None], axis=0)[0]
             best_rgb = o_colors[best]  # (H, W, 3)
+
+            if checker > 0.0:
+                # perspective-correct face UVs: interpolate uv/z, divide by 1/z
+                uv_tri = jnp.asarray(_TRI_UV)  # (12, 3, 2)
+                uq = (
+                    lam_a[:, None] * (uv_tri[:, 0, :, None, None] / za[:, None, None, None])
+                    + lam_b[:, None] * (uv_tri[:, 1, :, None, None] / zb[:, None, None, None])
+                    + lam_c[:, None] * (uv_tri[:, 2, :, None, None] / zc[:, None, None, None])
+                )  # (12, 2, H, W)
+                uv_pc = uq / jnp.maximum(inv_z[:, None], 1e-6)
+                u_b = jnp.take_along_axis(uv_pc[:, 0], best[None], axis=0)[0]
+                v_b = jnp.take_along_axis(uv_pc[:, 1], best[None], axis=0)[0]
+                cell = (jnp.floor(u_b * 2) + jnp.floor(v_b * 2)) % 2.0
+                best_rgb = jnp.clip(
+                    best_rgb * (1.0 - checker / 2 + checker * cell)[..., None], 0.0, 1.0
+                )
 
             win = best_z < zbuf
             zbuf = jnp.where(win, best_z, zbuf)

@@ -296,3 +296,34 @@ def test_mxu_warp_rotation_geometry():
         cy_o = (grid[0] * out).sum() / out.sum()
         cx_o = (grid[1] * out).sum() / out.sum()
         assert abs(cy_r - cy_o) < 0.05 and abs(cx_r - cx_o) < 0.05, ang
+
+
+def test_pallas_warp_matches_mxu_two_pass():
+    """The Pallas gather warp computes the same Catmull-Smith two-pass
+    resampling as the MXU one-hot warp (to f32 rounding — fma contraction of
+    the index maps may differ between the separately compiled programs)
+    across rotations, shears, the transpose path, and multiple sizes incl.
+    >128-lane widths."""
+    rng = np.random.default_rng(21)
+    for hw in (32, 256):
+        b, c = 4, 5
+        images = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, c)).astype(np.float32))
+        params = ops.sample_affine_params(
+            jax.random.key(3), b, hw, hw, degrees=90.0, translate=(0.1, 0.1),
+            scale=(0.9, 1.1), shear=10.0,
+        )
+        mats = ops.affine_matrices(params, hw, hw)
+        mxu = ops._warp_affine_mxu(images, ops._invert_affine(mats), pick_dtype=jnp.float32)
+        pal = ops.warp_affine_bilinear(images, mats, method="pallas")
+        np.testing.assert_allclose(np.asarray(pal), np.asarray(mxu), atol=1e-4), hw
+
+
+def test_pallas_warp_identity_is_exact():
+    """Unaugmented elements (identity affine) pass through bit-exact — the
+    f32 gather has no bf16 pick rounding (advisor finding, round 1)."""
+    rng = np.random.default_rng(22)
+    b, hw, c = 3, 32, 5
+    images = jnp.asarray(rng.uniform(0, 1, (b, hw, hw, c)).astype(np.float32))
+    eye = jnp.broadcast_to(jnp.eye(3), (b, 3, 3))
+    out = ops.warp_affine_bilinear(images, eye, method="pallas")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(images))

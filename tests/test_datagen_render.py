@@ -135,3 +135,52 @@ def test_value_noise_range_and_smoothness():
     assert 0.0 <= n.min() and n.max() <= 1.0
     # smooth: neighboring pixels differ much less than the global range
     assert np.abs(np.diff(n, axis=0)).max() < 0.2
+
+
+def test_six_faces_render_distinct_colors():
+    """Each visible cube face must be identifiable by its albedo — the
+    property that makes corner-identity regression well-posed (reference:
+    mjc.mtl's six distinct face textures)."""
+    from perseus_tpu.datagen.generate import CUBE_FACE_PALETTE
+
+    t = 1
+    rot = jnp.tile(jnp.eye(3), (t, 1, 1, 1)).astype(jnp.float32)
+    trans = jnp.zeros((t, 1, 3), dtype=jnp.float32)
+    face_colors = jnp.asarray(CUBE_FACE_PALETTE)[None]  # (1, 6, 3)
+
+    def view_from(cam_pos):
+        z_cam = cam_pos / np.linalg.norm(cam_pos)
+        world_up = np.array([0.0, 0.0, 1.0])
+        x_cam = np.cross(world_up, z_cam)
+        if np.linalg.norm(x_cam) < 1e-6:
+            x_cam = np.array([1.0, 0.0, 0.0])
+        x_cam = x_cam / np.linalg.norm(x_cam)
+        y_cam = np.cross(z_cam, x_cam)
+        quat = np.asarray(lie.rot_to_quat_wxyz(jnp.asarray(np.stack([x_cam, y_cam, z_cam], -1))))
+        cam7 = jnp.asarray(np.concatenate([cam_pos, quat])[None], dtype=jnp.float32)
+        rgb, _, seg = render.render_frames(
+            jax.random.key(0), rot, trans,
+            jnp.full((1, 3), 0.5, dtype=jnp.float32),
+            face_colors, jnp.ones((1,), dtype=jnp.float32),
+            cam7, np.pi / 3, 48, 48, checker=0.0,
+        )
+        rgb, seg = np.asarray(rgb)[0], np.asarray(seg)[0]
+        return rgb[seg == 1].mean(axis=0)
+
+    # camera straight down each axis sees exactly one face
+    views = {
+        0: view_from(np.array([-4.0, 0.0, 0.0])),  # sees -x face
+        1: view_from(np.array([4.0, 0.0, 0.0])),   # +x
+        2: view_from(np.array([0.0, -4.0, 0.0])),  # -y
+        3: view_from(np.array([0.0, 4.0, 0.0])),   # +y
+        4: view_from(np.array([0.0, 0.0, -4.0])),  # -z
+        5: view_from(np.array([0.0, 0.0, 4.0])),   # +z
+    }
+    for f, mean_rgb in views.items():
+        # dominant channel of the rendered face matches its palette entry
+        assert np.argmax(mean_rgb) == np.argmax(CUBE_FACE_PALETTE[f]), (f, mean_rgb)
+    # all six faces pairwise distinguishable
+    vals = np.stack(list(views.values()))
+    for i in range(6):
+        for j in range(i + 1, 6):
+            assert np.abs(vals[i] - vals[j]).max() > 0.08, (i, j, vals[i], vals[j])
