@@ -105,6 +105,9 @@ class PrunedKeypointDataset:
             "depth_image": depth.astype(np.float32),  # (H, W)
             "segmentation_image": segmentation,  # (H, W) {0, 1}
             "pixel_coordinates": self.pixel_coordinates[idx],  # (K, 2)
+            # inverse-frequency example weight from merge (consumed by
+            # TrainConfig.use_example_weights; dead data in the reference)
+            "weight": np.float32(self.weights[idx]),
         }
 
     def __getitem__(self, idx: int) -> dict:
@@ -138,6 +141,7 @@ class PrunedKeypointDataset:
                 "depth_image": depth,
                 "segmentation_image": seg,
                 "pixel_coordinates": np.stack([self.pixel_coordinates[i] for i in idx]),
+                "weight": np.asarray([self.weights[i] for i in idx], dtype=np.float32),
             }
         items = [self[int(i)] for i in indices]
         return {k: np.stack([it[k] for it in items]) for k in items[0]}

@@ -74,6 +74,18 @@ class SmootherConfig:
     sigma_prior_pose: float = 0.1
     sigma_prior_vel: float = 1.0
 
+    # Robust kernel on the keypoint residuals, the role of a gtsam robust
+    # noise model wrapping the projection factors (reference:
+    # perseus/smoother/factors.py:182-213 uses a plain Diagonal — detector
+    # outliers there corrupt the window). Threshold is in whitened units
+    # (pixels / sigma_keypoint_px); 0 disables (pure LS).
+    #   "huber": IRLS weight min(1, delta/|r|) — convex, safe for cold starts.
+    #   "gm" (Geman-McClure): weight 1/(1+(r/delta)^2)^2 — redescending,
+    #   effectively rejects gross detector outliers; use with a warm-started
+    #   tracking window.
+    robust_keypoint_delta: float = 3.0
+    robust_kernel: str = "huber"
+
     max_iterations: int = 8
     lambda_init: float = 1e-4
     lambda_up: float = 10.0
@@ -89,6 +101,27 @@ class SmootherConfig:
     # eval/reject) — the warm-started tracking mode, ~2x cheaper per
     # iteration; True = full LM accept/reject for cold starts.
     accept_reject: bool = True
+
+
+def _robust_keypoint_weights(cfg: SmootherConfig, r_kp_whitened: jnp.ndarray) -> jnp.ndarray:
+    """IRLS sqrt-weights (..., K, 1) for whitened keypoint residual 2-vectors.
+
+    Huber: weight w = min(1, delta/|r|) on the squared cost; residuals and
+    Jacobians scale by sqrt(w). The weight is evaluated at the current
+    linearization point and held constant through differentiation
+    (stop_gradient), the standard IRLS treatment — this keeps the "jacfwd"
+    and "block" solvers in exact agreement.
+    """
+    if cfg.robust_keypoint_delta <= 0.0:
+        return jnp.ones(r_kp_whitened.shape[:-1] + (1,), dtype=r_kp_whitened.dtype)
+    norm = jnp.sqrt(jnp.sum(r_kp_whitened**2, axis=-1, keepdims=True) + 1e-12)
+    if cfg.robust_kernel == "gm":
+        w = 1.0 / (1.0 + (norm / cfg.robust_keypoint_delta) ** 2) ** 2
+    elif cfg.robust_kernel == "huber":
+        w = jnp.minimum(1.0, cfg.robust_keypoint_delta / norm)
+    else:
+        raise ValueError(f"unknown robust_kernel {cfg.robust_kernel!r}")
+    return jax.lax.stop_gradient(jnp.sqrt(w))
 
 
 class WindowState(NamedTuple):
@@ -176,6 +209,7 @@ def window_residuals(
 
     r_kp = jax.vmap(frame_proj)(state.rot, state.trans, measurements)  # (T, K, 2)
     r_kp = (r_kp / cfg.sigma_keypoint_px) * valid[:, None, None]
+    r_kp = r_kp * _robust_keypoint_weights(cfg, r_kp)
 
     parts = [r_prior, r_dyn.reshape(-1), r_cw.reshape(-1), r_cv.reshape(-1), r_kp.reshape(-1)]
 
@@ -298,6 +332,9 @@ def assemble_normal_equations(
     vmask = valid[:, None, None]
     r_kp = (r_kp / cfg.sigma_keypoint_px) * vmask  # (T, K, 2)
     h_kp = (h_kp / cfg.sigma_keypoint_px) * valid[:, None, None, None]  # (T, K, 2, 6)
+    rw = _robust_keypoint_weights(cfg, r_kp)  # (T, K, 1)
+    r_kp = r_kp * rw
+    h_kp = h_kp * rw[..., None]
     jk = h_kp.reshape(t, -1, 6)
     rk = r_kp.reshape(t, -1)
     d_blocks = d_blocks.at[:, :6, :6].add(jnp.einsum("tai,taj->tij", jk, jk))

@@ -72,6 +72,15 @@ class TrainConfig:
     # Cache decoded images in host RAM (skips per-epoch PNG/TIFF decode).
     cache_dataset: bool = False
 
+    # Keep the ENTIRE decoded dataset resident in device HBM, sharded over
+    # the data mesh axis, and gather each batch on-device (shard-local
+    # permutations). Removes the per-step host->device image upload — the
+    # TPU-native answer to the reference's pin_memory/num_workers loader
+    # tuning (reference: train.py:236-247), and the difference between
+    # being PCIe/DCN-bound and MXU-bound when the dataset fits in HBM
+    # (a 7k-frame 256x256 RGBD+seg split is ~9 GB; v5e has 16 GB/chip).
+    data_on_device: bool = False
+
     # LR plateau schedule (reference: train.py:200).
     plateau_patience: int = 5
     plateau_factor: float = 0.25
@@ -84,3 +93,24 @@ class TrainConfig:
     # (the reference uses it implicitly, train.py:199); optax's default is
     # 1e-4, so this is passed explicitly to keep the recipes equivalent.
     weight_decay: float = 1e-2
+
+    # Multi-host (DCN) wiring — the role of the reference's TCP rendezvous /
+    # torch.distributed init (reference: train.py:122-152). When
+    # ``coordinator_address`` is set (host:port), train() calls
+    # ``jax.distributed.initialize(coordinator_address, num_processes,
+    # process_id)`` before touching any device; each process then loads its
+    # shard of the global batch (shard_index=process_index) and the jitted
+    # step's psum rides ICI within hosts and DCN across them. On TPU pods
+    # with the standard metadata environment, leave these unset and set
+    # ``distributed=True`` to use jax.distributed's auto-detection.
+    distributed: bool = False
+    coordinator_address: str = ""
+    num_processes: int = -1
+    process_id: int = -1
+
+    # Per-example loss weighting by the dataset's inverse-frequency
+    # ``weights`` column (computed by data/merge.py). The reference computes
+    # and stores these weights but never consumes them
+    # (data/merge_hdf5.py:175-190 — a known dead feature); enabling this
+    # actually applies them as per-example multipliers on the SmoothL1 loss.
+    use_example_weights: bool = False

@@ -159,7 +159,13 @@ def make_train_step(
             out_specs=(P("data"), P("data")),
         )(key, images_aug, coords)
 
-    def step(state: TrainState, images_aug: jnp.ndarray, coords: jnp.ndarray, key: jax.Array):
+    def step_core(
+        state: TrainState,
+        images_aug: jnp.ndarray,
+        coords: jnp.ndarray,
+        key: jax.Array,
+        weights: jnp.ndarray | None,
+    ):
         images, target = apply_augment(key, images_aug, coords)
         images = images[..., : cfg.in_channels]
         target = target.reshape(target.shape[0], -1)
@@ -168,14 +174,136 @@ def make_train_step(
             pred, new_stats = resnet.keypoint_cnn_apply(
                 params, state.batch_stats, images, train=True, compute_dtype=compute_dtype
             )
-            return smooth_l1_loss(pred, target), new_stats
+            if weights is None:
+                return smooth_l1_loss(pred, target), new_stats
+            # inverse-frequency example weighting (normalized so the loss
+            # scale — and thus the LR recipe — matches the unweighted path)
+            per_example = jnp.mean(optax.huber_loss(pred, target, delta=1.0), axis=-1)
+            wnorm = weights / jnp.maximum(jnp.mean(weights), 1e-12)
+            return jnp.mean(per_example * wnorm), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return TrainState(new_params, new_stats, new_opt_state), loss
 
+    if cfg.use_example_weights:
+
+        def step(state, images_aug, coords, key, weights):
+            return step_core(state, images_aug, coords, key, weights)
+
+    else:
+
+        def step(state, images_aug, coords, key):
+            return step_core(state, images_aug, coords, key, None)
+
     return step
+
+
+def make_device_data_train_step(
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    train_augment: KeypointAugmentation,
+    mesh=None,
+):
+    """Train step over a device-resident dataset (cfg.data_on_device).
+
+    The full decoded split lives in HBM sharded over the ``data`` axis;
+    each step receives a (B,) index vector sharded the same way whose values
+    index each shard LOCALLY, gathers its batch on-device under shard_map
+    (no cross-shard traffic), and runs the normal step. Removes the
+    per-step host image upload entirely.
+    """
+    base_step = make_train_step(cfg, optimizer, train_augment, mesh=mesh)
+
+    def gather(ds, idx):
+        return jnp.take(ds, idx, axis=0)
+
+    def step(state, ds_images, ds_coords, idx, key, *maybe_w):
+        if mesh is None:
+            imgs, crds = gather(ds_images, idx), gather(ds_coords, idx)
+            w = (gather(maybe_w[0], idx),) if maybe_w else ()
+        else:
+            spec_i = P("data", *([None] * (ds_images.ndim - 1)))
+            spec_c = P("data", *([None] * (ds_coords.ndim - 1)))
+            imgs = jax.shard_map(
+                gather, mesh=mesh, in_specs=(spec_i, P("data")), out_specs=spec_i
+            )(ds_images, idx)
+            crds = jax.shard_map(
+                gather, mesh=mesh, in_specs=(spec_c, P("data")), out_specs=spec_c
+            )(ds_coords, idx)
+            w = ()
+            if maybe_w:
+                w = (
+                    jax.shard_map(
+                        gather, mesh=mesh, in_specs=(P("data"), P("data")), out_specs=P("data")
+                    )(maybe_w[0], idx),
+                )
+        return base_step(state, imgs, crds, key, *w)
+
+    return step
+
+
+def make_device_data_eval_step(cfg: TrainConfig, val_augment: KeypointAugmentation, mesh=None):
+    """Eval step over a device-resident val split. ``mask`` (host-computed,
+    tiny) zeroes wrap-padding rows and final-partial-batch filler so every
+    real row is counted exactly once."""
+    base_step = make_eval_step(cfg, val_augment)
+
+    def gather(ds, idx):
+        return jnp.take(ds, idx, axis=0)
+
+    def step(state, ds_images, ds_coords, idx, mask):
+        if mesh is None:
+            imgs, crds = gather(ds_images, idx), gather(ds_coords, idx)
+        else:
+            spec_i = P("data", *([None] * (ds_images.ndim - 1)))
+            spec_c = P("data", *([None] * (ds_coords.ndim - 1)))
+            imgs = jax.shard_map(
+                gather, mesh=mesh, in_specs=(spec_i, P("data")), out_specs=spec_i
+            )(ds_images, idx)
+            crds = jax.shard_map(
+                gather, mesh=mesh, in_specs=(spec_c, P("data")), out_specs=spec_c
+            )(ds_coords, idx)
+        return base_step(state, imgs, crds, mask)
+
+    return step
+
+
+def _device_dataset(
+    dataset: PrunedKeypointDataset,
+    cfg: TrainConfig,
+    mesh,
+    use_transplant: bool,
+    chunk: int = 512,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+    """Decodes the whole split and device-puts it sharded over ``data``.
+
+    Rows are wrap-padded so every shard holds the same count; returns
+    (images, coords, weights, valid, n_local) where ``valid`` (a HOST array)
+    flags real vs padding rows and ``n_local`` is the per-shard row count.
+    """
+    n = len(dataset)
+    n_dev = len(mesh.devices.reshape(-1))
+    n_local = -(-n // n_dev)
+    n_pad = n_local * n_dev
+
+    order = np.arange(n_pad) % n
+    imgs_parts, crd_parts = [], []
+    for s in range(0, n_pad, chunk):
+        batch = dataset.batch(order[s : s + chunk])
+        imgs_parts.append(_prepare_aug_batch(batch, cfg.in_channels, use_transplant))
+        crd_parts.append(np.asarray(batch["pixel_coordinates"], dtype=np.float32))
+    images = np.concatenate(imgs_parts)
+    coords = np.concatenate(crd_parts)
+    weights = np.asarray([dataset.weights[i] for i in order], dtype=np.float32)
+    valid = (np.arange(n_pad) < n).astype(np.float32)
+
+    sh = lambda spec: NamedSharding(mesh, spec)
+    d_images = jax.device_put(images, sh(P("data", None, None, None)))
+    d_coords = jax.device_put(coords, sh(P("data", None, None)))
+    d_weights = jax.device_put(weights, sh(P("data")))
+    return d_images, d_coords, d_weights, valid, n_local
 
 
 def make_eval_step(cfg: TrainConfig, val_augment: KeypointAugmentation):
@@ -237,8 +365,35 @@ def init_state(cfg: TrainConfig, optimizer: optax.GradientTransformation, mesh) 
     )
 
 
+def maybe_initialize_distributed(cfg: TrainConfig) -> None:
+    """Multi-host bring-up (the reference's TCP rendezvous / DDP init role,
+    reference: train.py:122-152). Call before any device access. With
+    ``coordinator_address`` set, passes the explicit 3-tuple; with bare
+    ``distributed=True``, defers to jax.distributed auto-detection (TPU pod
+    metadata). No-ops when already initialized so train() stays re-entrant
+    in tests."""
+    if not (cfg.distributed or cfg.coordinator_address):
+        return
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:  # already initialized
+        return
+    # harmless on TPU (only the CPU client factory reads it); required for
+    # multi-process CPU runs to get a cross-host collectives implementation
+    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    kwargs = {}
+    if cfg.coordinator_address:
+        kwargs = dict(
+            coordinator_address=cfg.coordinator_address,
+            num_processes=cfg.num_processes,
+            process_id=cfg.process_id,
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def train(cfg: TrainConfig) -> dict:
     """Runs the full training loop; returns summary metrics."""
+    maybe_initialize_distributed(cfg)
     np.random.seed(cfg.random_seed)
 
     train_dataset = PrunedKeypointDataset(cfg.dataset_config, train=True, cache=cfg.cache_dataset)
@@ -266,9 +421,12 @@ def train(cfg: TrainConfig) -> dict:
 
     replicated = NamedSharding(mesh, P())
     data_sharded = NamedSharding(mesh, P("data"))
+    step_in_shardings = (replicated, data_sharded, data_sharded, None) + (
+        (data_sharded,) if cfg.use_example_weights else ()
+    )
     train_step = jax.jit(
         make_train_step(cfg, optimizer, train_augment, mesh=mesh),
-        in_shardings=(replicated, data_sharded, data_sharded, None),
+        in_shardings=step_in_shardings,
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
     )
@@ -277,6 +435,32 @@ def train(cfg: TrainConfig) -> dict:
         in_shardings=(replicated, data_sharded, data_sharded, data_sharded),
         out_shardings=(replicated, replicated),
     )
+
+    n_dev = len(mesh.devices.reshape(-1))
+    dd_train = dd_val = None
+    if cfg.data_on_device:
+        if jax.process_count() != 1:
+            raise NotImplementedError(
+                "data_on_device currently assumes a single host process; "
+                "use the loader path for multi-host runs"
+            )
+        local_bs = cfg.batch_size // n_dev
+        dd_train = _device_dataset(train_dataset, cfg, mesh, use_transplant)
+        dd_val = _device_dataset(val_dataset, cfg, mesh, use_transplant=False)
+        dd_step_shardings = (replicated, data_sharded, data_sharded, data_sharded, None) + (
+            (data_sharded,) if cfg.use_example_weights else ()
+        )
+        dd_train_step = jax.jit(
+            make_device_data_train_step(cfg, optimizer, train_augment, mesh=mesh),
+            in_shardings=dd_step_shardings,
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,),
+        )
+        dd_eval_step = jax.jit(
+            make_device_data_eval_step(cfg, val_augment, mesh=mesh),
+            in_shardings=(replicated, data_sharded, data_sharded, data_sharded, data_sharded),
+            out_shardings=(replicated, replicated),
+        )
 
     scheduler = PlateauScheduler(
         cfg.learning_rate, cfg.plateau_patience, cfg.plateau_factor, cfg.min_learning_rate
@@ -309,11 +493,13 @@ def train(cfg: TrainConfig) -> dict:
     global_step = start_epoch * max(1, len(train_dataset) // cfg.batch_size)
     last_val_loss = float("nan")
     profiling = False
+    profile_stop = 0
     for epoch in range(start_epoch, cfg.n_epochs):
         epoch_losses = []
         n_images = 0
         t0 = time.time()
-        for batch in train_loader.epoch(epoch):
+        def maybe_profile(loss):
+            nonlocal profiling, profile_stop
             if (
                 cfg.profile_dir
                 and not profiling
@@ -323,22 +509,62 @@ def train(cfg: TrainConfig) -> dict:
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
                 profile_stop = global_step + cfg.profile_steps
-            images_aug = _prepare_aug_batch(batch, cfg.in_channels, use_transplant)
-            sharded = shard_batch(
-                {"images": np.asarray(images_aug), "coords": batch["pixel_coordinates"]}, mesh
-            )
-            key = jax.random.fold_in(run_key, global_step)
-            state, loss = train_step(state, sharded["images"], sharded["coords"], key)
-            loss_val = float(loss)
-            epoch_losses.append(loss_val)
-            n_images += images_aug.shape[0]
-            if run is not None:
-                run.log({"loss": loss_val})
-            global_step += 1
-            if profiling and global_step >= profile_stop:
+            if profiling and loss is not None and global_step >= profile_stop:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
                 profiling = False
+
+        if cfg.data_on_device:
+            d_imgs, d_crds, d_w, _, n_local = dd_train
+            # shard-local per-epoch permutations (the DistributedSampler
+            # reshuffle, one independent stream per shard)
+            perms = np.stack(
+                [
+                    np.random.default_rng((cfg.random_seed, epoch, d)).permutation(n_local)
+                    for d in range(n_dev)
+                ]
+            )
+            for s in range(n_local // local_bs):
+                maybe_profile(None)
+                idx = np.ascontiguousarray(
+                    perms[:, s * local_bs : (s + 1) * local_bs]
+                ).reshape(-1).astype(np.int32)
+                idx_dev = jax.device_put(idx, data_sharded)
+                key = jax.random.fold_in(run_key, global_step)
+                step_args = (state, d_imgs, d_crds, idx_dev, key) + (
+                    (d_w,) if cfg.use_example_weights else ()
+                )
+                state, loss = dd_train_step(*step_args)
+                loss_val = float(loss)
+                epoch_losses.append(loss_val)
+                n_images += cfg.batch_size
+                if run is not None:
+                    run.log({"loss": loss_val})
+                global_step += 1
+                maybe_profile(loss)
+        else:
+            for batch in train_loader.epoch(epoch):
+                maybe_profile(None)
+                images_aug = _prepare_aug_batch(batch, cfg.in_channels, use_transplant)
+                host_batch = {
+                    "images": np.asarray(images_aug),
+                    "coords": batch["pixel_coordinates"],
+                }
+                if cfg.use_example_weights:
+                    host_batch["weight"] = np.asarray(batch["weight"], dtype=np.float32)
+                sharded = shard_batch(host_batch, mesh)
+                key = jax.random.fold_in(run_key, global_step)
+                step_args = (state, sharded["images"], sharded["coords"], key) + (
+                    (sharded["weight"],) if cfg.use_example_weights else ()
+                )
+                state, loss = train_step(*step_args)
+                loss_val = float(loss)
+                epoch_losses.append(loss_val)
+                n_images += images_aug.shape[0]
+                if run is not None:
+                    run.log({"loss": loss_val})
+                global_step += 1
+                maybe_profile(loss)
         epoch_time = time.time() - t0
         throughput = n_images * jax.process_count() / max(epoch_time, 1e-9)
 
@@ -350,9 +576,33 @@ def train(cfg: TrainConfig) -> dict:
         if run is not None:
             run.log({"epoch_time_s": epoch_time, "train_images_per_sec": throughput})
 
-        if epoch % cfg.val_epochs == 0:
+        if epoch % cfg.val_epochs == 0 and cfg.data_on_device:
+            v_imgs, v_crds, _, v_valid, v_n_local = dd_val
+            valid2d = v_valid.reshape(n_dev, v_n_local)
             loss_sum, count = 0.0, 0.0
-            n_dev = len(mesh.devices.reshape(-1))
+            for s in range(-(-v_n_local // local_bs)):
+                length = min(local_bs, v_n_local - s * local_bs)
+                idx2 = np.zeros((n_dev, local_bs), np.int32)
+                mask2 = np.zeros((n_dev, local_bs), np.float32)
+                idx2[:, :length] = np.arange(s * local_bs, s * local_bs + length)
+                mask2[:, :length] = valid2d[:, s * local_bs : s * local_bs + length]
+                s_, n_ = dd_eval_step(
+                    state,
+                    v_imgs,
+                    v_crds,
+                    jax.device_put(idx2.reshape(-1), data_sharded),
+                    jax.device_put(mask2.reshape(-1), data_sharded),
+                )
+                loss_sum += float(s_)
+                count += float(n_)
+            last_val_loss = loss_sum / count if count else float("nan")
+            if run is not None:
+                run.log({"val_loss": last_val_loss})
+                print(f"[epoch {epoch}] val loss {last_val_loss:.5f}")
+            new_lr = scheduler.step(last_val_loss)
+            state = state._replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+        elif epoch % cfg.val_epochs == 0:
+            loss_sum, count = 0.0, 0.0
             for batch in val_loader.epoch(0):
                 images = np.asarray(_prepare_aug_batch(batch, cfg.in_channels, use_transplant=False))
                 coords_np = np.asarray(batch["pixel_coordinates"], dtype=np.float32)

@@ -274,3 +274,41 @@ def test_fixed_lag_gn_mode_tracks_stream():
         carry, pose = update(carry, meas[i])
         errs.append(float(jnp.linalg.norm(lie.se3_log(lie.se3_between(pose, gt_poses[i])))))
     assert max(errs[window:]) < 2e-2, errs
+
+def test_robust_kernel_survives_corrupted_corners():
+    """With the Huber keypoint kernel (SmootherConfig.robust_keypoint_delta),
+    1-2 grossly corrupted corners per frame must not break tracking; with the
+    kernel disabled the same stream tracks measurably worse."""
+    t_frames = 14
+    window = 6
+    k, corners, gt_poses, meas, twist = _simulate(t_frames, noise_px=0.2)
+    # corrupt up to 2 corners per frame by tens of pixels
+    meas_np = np.asarray(meas).copy()
+    corrupt_rng = np.random.default_rng(7)
+    for i in range(t_frames):
+        for c in corrupt_rng.choice(meas_np.shape[1], size=2, replace=False):
+            meas_np[i, c] += corrupt_rng.uniform(30.0, 80.0, size=2) * corrupt_rng.choice([-1, 1], 2)
+    meas_bad = jnp.asarray(meas_np)
+
+    def track(delta, kernel="huber"):
+        cfg = SmootherConfig(
+            window=window, dt=DT, vel_frame="body", max_iterations=6,
+            sigma_prior_pose=1.0, sigma_prior_vel=10.0,
+            robust_keypoint_delta=delta, robust_kernel=kernel,
+        )
+        smoother = FixedLagSmoother(cfg, k, corners, dtype=jnp.float64)
+        carry = smoother.init(initial_pose=gt_poses[0])
+        update = jax.jit(smoother.update)
+        errs = []
+        for i in range(t_frames):
+            carry, pose = update(carry, meas_bad[i])
+            errs.append(float(jnp.linalg.norm(lie.se3_log(lie.se3_between(pose, gt_poses[i])))))
+        return max(errs[window:])
+
+    err_gm = track(3.0, "gm")
+    err_huber = track(3.0, "huber")
+    err_plain = track(0.0)
+    # redescending kernel rejects the outliers outright; Huber (convex,
+    # cold-start-safe) still has to beat plain LS by a wide margin
+    assert err_gm < 3e-2, (err_gm, err_huber, err_plain)
+    assert err_huber < 0.3 * err_plain, (err_gm, err_huber, err_plain)
