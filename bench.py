@@ -100,15 +100,11 @@ def bench_detector() -> float:
     return fps
 
 
-def bench_smoother() -> float:
+def _bench_smoother_cfg(cfg, label: str) -> float:
     from perseus_tpu.camera import intrinsics_from_fov
     from perseus_tpu.datagen.labeling import cube_corners
     from perseus_tpu.smoother.fixed_lag import FixedLagSmoother
-    from perseus_tpu.smoother.lm import SmootherConfig
 
-    # production streaming config: incremental GN, 4 iterations (tracking
-    # quality validated in tests/test_smoother.py::test_fixed_lag_gn_mode_*)
-    cfg = SmootherConfig(window=24, max_iterations=4, accept_reject=False)
     intr = intrinsics_from_fov(jnp.asarray(1.0), 256, 256)
     smoother = FixedLagSmoother(cfg, intr, cube_corners(0.035).astype(jnp.float32))
     carry = smoother.init()
@@ -135,8 +131,27 @@ def bench_smoother() -> float:
         / k
         * 1e3
     )
-    print(f"[bench] smoother: window=24 p50={p50_ms:.3f} ms/update (device-true)", file=sys.stderr)
+    print(
+        f"[bench] smoother[{label}]: window=24 p50={p50_ms:.3f} ms/update (device-true)",
+        file=sys.stderr,
+    )
     return p50_ms
+
+
+def bench_smoother() -> tuple[float, float]:
+    """Returns (streaming-config p50, default-config p50) in ms.
+
+    Streaming config = incremental GN, 4 iterations (tracking quality
+    validated in tests/test_smoother.py::test_fixed_lag_gn_mode_*); default
+    config = the full 8-iteration accept/reject LM that SmootherConfig()
+    ships (cold-start-safe)."""
+    from perseus_tpu.smoother.lm import SmootherConfig
+
+    p50 = _bench_smoother_cfg(
+        SmootherConfig(window=24, max_iterations=4, accept_reject=False), "GN-4 streaming"
+    )
+    p50_default = _bench_smoother_cfg(SmootherConfig(window=24), "LM-8 default")
+    return p50, p50_default
 
 
 def bench_streaming() -> float:
@@ -224,13 +239,38 @@ def bench_train_step() -> float:
     return ips
 
 
+def read_scale_run_metrics() -> dict:
+    """Metrics of the latest at-scale training run (emitted by
+    scripts/train_at_scale.py into outputs/models/scale_run/metrics.json),
+    folded into the bench line so the driver records accuracy alongside
+    throughput."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "outputs", "models", "scale_run", "metrics.json")
+    if not os.path.exists(path):
+        return {}
+    try:
+        with open(path) as f:
+            m = json.load(f)
+        return {
+            "val_rmse_px": m.get("val_rmse_px"),
+            "val_loss": m.get("val_loss"),
+            "scale_run_epochs": m.get("epochs"),
+            "scale_run_train_frames": m.get("n_train"),
+        }
+    except Exception as exc:
+        print(f"[bench] scale-run metrics unreadable: {exc}", file=sys.stderr)
+        return {}
+
+
 def main() -> None:
     fps = bench_detector()
     try:
-        p50 = bench_smoother()
+        p50, p50_default = bench_smoother()
     except Exception as exc:  # keep the headline metric robust
         print(f"[bench] smoother bench failed: {exc}", file=sys.stderr)
-        p50 = float("nan")
+        p50 = p50_default = float("nan")
     try:
         stream_ms = bench_streaming()
     except Exception as exc:
@@ -248,9 +288,11 @@ def main() -> None:
         "unit": "frames/sec/chip",
         "vs_baseline": round(fps / DETECTOR_TARGET_FPS, 4),
         "smoother_p50_ms": round(p50, 3) if np.isfinite(p50) else None,
+        "smoother_default_p50_ms": round(p50_default, 3) if np.isfinite(p50_default) else None,
         "streaming_ms_per_frame": round(stream_ms, 3) if np.isfinite(stream_ms) else None,
         "train_images_per_sec": round(train_ips, 1) if np.isfinite(train_ips) else None,
     }
+    result.update(read_scale_run_metrics())
     print(json.dumps(result))
 
 

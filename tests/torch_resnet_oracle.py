@@ -1,71 +1,8 @@
-"""A torch ResNet-18 oracle for differential testing.
+"""Torch ResNet-18 oracle — canonical copy lives in
+perseus_tpu/eval/torch_oracle.py (also used by the training-parity
+experiment, perseus_tpu/eval/parity.py); re-exported here for the
+differential tests."""
 
-torchvision is not installed in this environment, so this module defines the
-standard ResNet-18 architecture (identical layer structure, state_dict key
-names, and semantics to torchvision.models.resnet18) purely as a *test
-oracle* for the JAX implementation, mirroring how the reference model wraps
-it (reference: perseus/detector/models.py:20-32 — conv1 swap for C != 3 and
-fc -> 2*n_keypoints head).
-"""
+from perseus_tpu.eval.torch_oracle import BasicBlock, ResNet18, TorchKeypointCNN
 
-import torch
-from torch import nn
-
-
-class BasicBlock(nn.Module):
-    expansion = 1
-
-    def __init__(self, in_planes: int, planes: int, stride: int = 1):
-        super().__init__()
-        self.conv1 = nn.Conv2d(in_planes, planes, 3, stride=stride, padding=1, bias=False)
-        self.bn1 = nn.BatchNorm2d(planes)
-        self.relu = nn.ReLU(inplace=True)
-        self.conv2 = nn.Conv2d(planes, planes, 3, stride=1, padding=1, bias=False)
-        self.bn2 = nn.BatchNorm2d(planes)
-        self.downsample = None
-        if stride != 1 or in_planes != planes:
-            self.downsample = nn.Sequential(
-                nn.Conv2d(in_planes, planes, 1, stride=stride, bias=False),
-                nn.BatchNorm2d(planes),
-            )
-
-    def forward(self, x):
-        identity = x
-        out = self.relu(self.bn1(self.conv1(x)))
-        out = self.bn2(self.conv2(out))
-        if self.downsample is not None:
-            identity = self.downsample(x)
-        return self.relu(out + identity)
-
-
-class ResNet18(nn.Module):
-    def __init__(self, num_channels: int = 3, num_outputs: int = 16):
-        super().__init__()
-        self.conv1 = nn.Conv2d(num_channels, 64, 7, stride=2, padding=3, bias=False)
-        self.bn1 = nn.BatchNorm2d(64)
-        self.relu = nn.ReLU(inplace=True)
-        self.maxpool = nn.MaxPool2d(kernel_size=3, stride=2, padding=1)
-        self.layer1 = nn.Sequential(BasicBlock(64, 64), BasicBlock(64, 64))
-        self.layer2 = nn.Sequential(BasicBlock(64, 128, 2), BasicBlock(128, 128))
-        self.layer3 = nn.Sequential(BasicBlock(128, 256, 2), BasicBlock(256, 256))
-        self.layer4 = nn.Sequential(BasicBlock(256, 512, 2), BasicBlock(512, 512))
-        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
-        self.fc = nn.Linear(512, num_outputs)
-
-    def forward(self, x):
-        out = self.maxpool(self.relu(self.bn1(self.conv1(x))))
-        out = self.layer4(self.layer3(self.layer2(self.layer1(out))))
-        out = torch.flatten(self.avgpool(out), 1)
-        return self.fc(out)
-
-
-class TorchKeypointCNN(nn.Module):
-    """Mirrors the reference KeypointCNN wrapper: nests the backbone under
-    ``resnet.`` so state_dict keys match the reference checkpoint layout."""
-
-    def __init__(self, n_keypoints: int = 8, num_channels: int = 3):
-        super().__init__()
-        self.resnet = ResNet18(num_channels=num_channels, num_outputs=2 * n_keypoints)
-
-    def forward(self, x):
-        return self.resnet(x)
+__all__ = ["BasicBlock", "ResNet18", "TorchKeypointCNN"]
