@@ -312,3 +312,28 @@ def test_robust_kernel_survives_corrupted_corners():
     # cold-start-safe) still has to beat plain LS by a wide margin
     assert err_gm < 3e-2, (err_gm, err_huber, err_plain)
     assert err_huber < 0.3 * err_plain, (err_gm, err_huber, err_plain)
+
+def test_block_tridiag_solver_matches_dense():
+    """solve_block_tridiag == dense Cholesky solve on a random SPD
+    block-tridiagonal system (f64)."""
+    from perseus_tpu.smoother.lm import solve_block_tridiag
+
+    t, bdim = 7, 12
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=(t - 1, bdim, bdim)) * 0.3)
+    d = jnp.asarray(
+        np.stack([np.eye(bdim) * 10 + rng.normal(size=(bdim, bdim)) for _ in range(t)])
+    )
+    d = 0.5 * (d + jnp.swapaxes(d, -1, -2))
+    rhs = jnp.asarray(rng.normal(size=(t, bdim)))
+
+    dense = np.zeros((t * bdim, t * bdim))
+    for i in range(t):
+        dense[i * bdim : (i + 1) * bdim, i * bdim : (i + 1) * bdim] = np.asarray(d[i])
+    for i in range(t - 1):
+        dense[i * bdim : (i + 1) * bdim, (i + 1) * bdim : (i + 2) * bdim] = np.asarray(u[i])
+        dense[(i + 1) * bdim : (i + 2) * bdim, i * bdim : (i + 1) * bdim] = np.asarray(u[i]).T
+
+    x_block = np.asarray(solve_block_tridiag(d, u, rhs)).reshape(-1)
+    x_dense = np.linalg.solve(dense, np.asarray(rhs).reshape(-1))
+    np.testing.assert_allclose(x_block, x_dense, atol=1e-9)
