@@ -78,6 +78,9 @@ class VideoConfig:
     camera_radius_range: tuple[float, float] = (6.0, 9.0)
     camera_height_range: tuple[float, float] = (2.0, 5.0)
     gravity: float = -2.0  # soft gravity keeps the cube in view for 2 s
+    # ground-plane contact for tossed bodies (the PyBullet-dynamics role);
+    # False reverts to pure ballistics
+    ground_contact: bool = True
 
     seed: int = 0
 
@@ -99,19 +102,48 @@ def _look_at_blender(position: np.ndarray, target: np.ndarray) -> np.ndarray:
     return np.stack([x_cam, y_cam, z_cam], axis=-1)
 
 
+def _support_height(rot: np.ndarray, half_extents: np.ndarray) -> float:
+    """Distance from a box's center to its lowest point under rotation
+    `rot` (world-from-body): sum_k he_k * |e_z . rot[:, k]|."""
+    return float(np.sum(half_extents * np.abs(rot[2, :])))
+
+
 def _integrate_pose(
     pos0: np.ndarray, rot0: np.ndarray, vel: np.ndarray, ang_vel: np.ndarray,
     frames: int, dt: float, gravity: float,
+    half_extents: np.ndarray | None = None,
+    restitution: float = 0.35,
+    friction: float = 0.25,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Ballistic translation + constant body angular velocity."""
+    """Rigid-body integration: ballistic translation + constant body angular
+    velocity, with ground-plane contact when `half_extents` is given.
+
+    The contact model plays the role of the reference's PyBullet simulation
+    (generate_one_video.py:248,328 — contact dynamics + settle): when the
+    box's support point would penetrate z=0, the position is projected out,
+    the vertical velocity reflects with `restitution`, and an impulse
+    friction damps the tangential velocity and spin; slow bounces settle.
+    A substantial fidelity upgrade over pure ballistics — tossed objects
+    land and tumble instead of falling through the floor.
+    """
     positions, rotations = [], []
-    pos, rot, v = pos0.copy(), rot0.copy(), vel.copy()
+    pos, rot, v, w = pos0.copy(), rot0.copy(), vel.copy(), ang_vel.copy()
     for _ in range(frames):
         positions.append(pos.copy())
         rotations.append(rot.copy())
         pos = pos + v * dt
         v = v + np.array([0.0, 0.0, gravity]) * dt
-        rot = rot @ np.asarray(lie.so3_exp(jnp.asarray(ang_vel * dt)))
+        rot = rot @ np.asarray(lie.so3_exp(jnp.asarray(w * dt)))
+        if half_extents is not None:
+            supp = _support_height(rot, half_extents)
+            if pos[2] < supp:
+                pos[2] = supp
+                if v[2] < 0.0:
+                    v[2] = -restitution * v[2]
+                    if v[2] < 0.15:  # settle slow bounces
+                        v[2] = 0.0
+                v[:2] *= 1.0 - friction
+                w *= 1.0 - friction
     return np.stack(positions), np.stack(rotations)
 
 
@@ -128,7 +160,8 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
     cube_vel = rng.uniform(-cfg.max_linear_velocity, cfg.max_linear_velocity, 3)
     cube_ang = rng.uniform(-cfg.max_angular_velocity, cfg.max_angular_velocity, 3)
     cube_pos, cube_rot = _integrate_pose(
-        cube_pos0, cube_rot0, cube_vel, cube_ang, t, dt, cfg.gravity
+        cube_pos0, cube_rot0, cube_vel, cube_ang, t, dt, cfg.gravity,
+        half_extents=np.full(3, abs_scale) if cfg.ground_contact else None,
     )
 
     # distractors: static on the floor + dynamic tossed
@@ -149,7 +182,10 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
         rot0 = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(size=3))))
         vel = rng.uniform(-cfg.max_linear_velocity, cfg.max_linear_velocity, 3)
         ang = rng.uniform(-cfg.max_angular_velocity, cfg.max_angular_velocity, 3)
-        p, r = _integrate_pose(pos0, rot0, vel, ang, t, dt, cfg.gravity)
+        p, r = _integrate_pose(
+            pos0, rot0, vel, ang, t, dt, cfg.gravity,
+            half_extents=he if cfg.ground_contact else None,
+        )
         half_extents.append(he)
         positions.append(p)
         rotations.append(r)

@@ -82,9 +82,12 @@ def label_job(cfg: LabelConfig, job_id: str) -> dict:
     )
 
     t = cfg.frames
-    rgb_names = [os.path.join(job_path, f"rgba_{i:05d}.png") for i in range(t)]
-    depth_names = [os.path.join(job_path, f"depth_{i:05d}.tiff") for i in range(t)]
-    seg_names = [os.path.join(job_path, f"segmentation_{i:05d}.png") for i in range(t)]
+    # stored names are relative to the job_dir (where the raw HDF5 lands):
+    # merge resolves them against the raw file's own directory, so the
+    # dataset stays portable and relative job_dir paths don't double up
+    rgb_names = [os.path.join(job_id, f"rgba_{i:05d}.png") for i in range(t)]
+    depth_names = [os.path.join(job_id, f"depth_{i:05d}.tiff") for i in range(t)]
+    seg_names = [os.path.join(job_id, f"segmentation_{i:05d}.png") for i in range(t)]
 
     out = {
         "pixel_coordinates": pixel_coords[:t],
@@ -106,9 +109,14 @@ def label_job(cfg: LabelConfig, job_id: str) -> dict:
         "W": w,
     }
     if not cfg.lazy_images:
-        out["images"] = np.stack([(schema.load_rgb_png(p) * 255).astype(np.uint8) for p in rgb_names])
-        out["depth_images"] = np.stack([schema.load_depth_tiff(p) for p in depth_names])
-        out["segmentation_images"] = np.stack([schema.load_segmentation_png(p) for p in seg_names])
+        rp = lambda p: os.path.join(cfg.job_dir, p)
+        out["images"] = np.stack(
+            [(schema.load_rgb_png(rp(p)) * 255).astype(np.uint8) for p in rgb_names]
+        )
+        out["depth_images"] = np.stack([schema.load_depth_tiff(rp(p)) for p in depth_names])
+        out["segmentation_images"] = np.stack(
+            [schema.load_segmentation_png(rp(p)) for p in seg_names]
+        )
     return out
 
 

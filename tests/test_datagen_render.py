@@ -184,3 +184,24 @@ def test_six_faces_render_distinct_colors():
     for i in range(6):
         for j in range(i + 1, 6):
             assert np.abs(vals[i] - vals[j]).max() > 0.08, (i, j, vals[i], vals[j])
+
+
+def test_ground_contact_keeps_bodies_above_floor():
+    """With ground_contact, a dropped box never penetrates z=0 and settles;
+    without it, ballistics carries it through the floor."""
+    from perseus_tpu.datagen.generate import _integrate_pose, _support_height
+
+    pos0 = np.array([0.0, 0.0, 2.0])
+    rot0 = np.eye(3)
+    vel = np.array([0.3, 0.0, 0.0])
+    ang = np.array([0.0, 2.0, 0.0])
+    he = np.full(3, 0.5)
+
+    pos_c, rot_c = _integrate_pose(pos0, rot0, vel, ang, 60, 1.0 / 12.0, -9.8, half_extents=he)
+    for p, r in zip(pos_c, rot_c):
+        assert p[2] >= _support_height(r, he) - 1e-6
+    # settled by the end: vertical motion died out near the floor
+    assert abs(pos_c[-1][2] - _support_height(rot_c[-1], he)) < 0.15
+
+    pos_b, _ = _integrate_pose(pos0, rot0, vel, ang, 60, 1.0 / 12.0, -9.8)
+    assert pos_b[-1][2] < -5.0  # ballistic falls through
