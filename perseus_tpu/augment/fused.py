@@ -47,7 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from perseus_tpu.augment import ops
 
-__all__ = ["sample_fused_params", "fused_apply", "reference_apply", "fused_supported"]
+__all__ = [
+    "sample_fused_params",
+    "fused_apply",
+    "fused_warp_apply",
+    "reference_apply",
+    "fused_supported",
+]
 
 N_SCALARS = 29
 
@@ -324,6 +330,50 @@ def _kernel(scalars_ref, img_ref, plasma_ref, fields_ref, out_ref):
         out_ref[0, k] = out[k]
 
 
+def _kernel_warp(scalars_ref, img_ref, rho_ref, gam_ref, plasma_ref, fields_ref, out_ref):
+    """Affine warp (two-pass lane gathers, as in warp_pallas) + the fused
+    elementwise chain, in ONE kernel: each image is read from HBM once,
+    warped and augmented entirely in VMEM, and written once."""
+    from perseus_tpu.augment.warp_pallas import _gather_cols
+
+    i = pl.program_id(0)
+    c = img_ref.shape[1]
+    _, _, h, w = out_ref.shape
+    s = img_ref.shape[2]
+    f32 = jnp.float32
+
+    rhoT = rho_ref[0]
+    r0 = jnp.floor(rhoT)
+    fv = rhoT - r0
+    i0 = r0.astype(jnp.int32)
+    v_idx0 = jnp.clip(i0, 0, s - 1)
+    v_idx1 = jnp.clip(i0 + 1, 0, s - 1)
+    v_w0 = ((i0 >= 0) & (i0 < s)).astype(f32) * (1.0 - fv)
+    v_w1 = ((i0 + 1 >= 0) & (i0 + 1 < s)).astype(f32) * fv
+
+    gam = gam_ref[0]
+    g0 = jnp.floor(gam)
+    fh = gam - g0
+    j0 = g0.astype(jnp.int32)
+    h_idx0 = jnp.clip(j0, 0, w - 1)
+    h_idx1 = jnp.clip(j0 + 1, 0, w - 1)
+    h_w0 = ((j0 >= 0) & (j0 < w)).astype(f32) * (1.0 - fh)
+    h_w1 = ((j0 + 1 >= 0) & (j0 + 1 < w)).astype(f32) * fh
+
+    planes = []
+    for ci in range(c):
+        plane_t = img_ref[0, ci].T  # (W_in, S)
+        inter_t = _gather_cols(plane_t, v_idx0) * v_w0 + _gather_cols(plane_t, v_idx1) * v_w1
+        inter = inter_t.T
+        planes.append(_gather_cols(inter, h_idx0) * h_w0 + _gather_cols(inter, h_idx1) * h_w1)
+
+    sv = [scalars_ref[i, k] for k in range(N_SCALARS)]
+    fields = [fields_ref[0, k] for k in range(3)]
+    out = _chain_planes(planes, plasma_ref[0], fields, sv)
+    for k in range(c):
+        out_ref[0, k] = out[k]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def fused_apply(images: jnp.ndarray, params: dict, interpret: bool = False) -> jnp.ndarray:
     """Applies the fused chain to an NHWC batch with one Pallas kernel.
@@ -353,6 +403,67 @@ def fused_apply(images: jnp.ndarray, params: dict, interpret: bool = False) -> j
         out_shape=jax.ShapeDtypeStruct((b, c, h, w), images.dtype),
         interpret=interpret,
     )(params["scalars"], planes, params["plasma"], params["fields"])
+    return jnp.moveaxis(out, 1, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_warp_apply(
+    images_sw: jnp.ndarray,  # (B, H, W, C) float32, swap-adjusted (ops._two_pass_setup)
+    warp_params: jnp.ndarray,  # (B, 6): i00, i01, t0, p, q, r
+    params: dict,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Affine warp + the fused elementwise chain in one Pallas kernel.
+
+    Combines warp_pallas (the kornia RandomAffine role) and fused_apply:
+    one HBM read and one write per image for the entire
+    warp -> erase -> color -> blur -> shadow -> depth pipeline stage stack.
+    Callers prepare `images_sw`/`warp_params` exactly as for
+    ops.warp_affine_bilinear(method="pallas")."""
+    b, h, w, c = images_sw.shape
+    f32 = jnp.float32
+    i00, i01, t0, p, q, r = (warp_params[:, k].astype(f32) for k in range(6))
+    ys = jnp.arange(h, dtype=f32)
+    xs = jnp.arange(w, dtype=f32)
+    rho_t = (
+        q[:, None, None] * ys[None, None, :]
+        + p[:, None, None] * xs[None, :, None]
+        + r[:, None, None]
+    )
+    gam = (
+        i01[:, None, None] * ys[None, :, None]
+        + i00[:, None, None] * xs[None, None, :]
+        + t0[:, None, None]
+    )
+    # single materialized evaluation (see warp_pallas module docstring: an
+    # index plane recomputed per consumer can fma-contract differently and
+    # desynchronize the gather index from its blend weight)
+    rho_t, gam = jax.lax.optimization_barrier((rho_t, gam))
+
+    params = jax.tree.map(lambda x: x.astype(f32), params)
+    planes = jnp.moveaxis(images_sw.astype(f32), -1, 1)  # (B, C, H, W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, h, w), lambda i, *_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, w, h), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, 3, h, w), lambda i, *_: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c, h, w), lambda i, *_: (i, 0, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _kernel_warp,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), f32),
+        # warp index/weight planes + C channel intermediates exceed the
+        # default 16 MB scoped-vmem stack at 256x256x5; v5e has 128 MB VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(params["scalars"], planes, rho_t, gam, params["plasma"], params["fields"])
     return jnp.moveaxis(out, 1, -1)
 
 

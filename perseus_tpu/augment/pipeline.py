@@ -105,17 +105,22 @@ class KeypointAugmentation:
     def __init__(
         self, cfg: AugmentationConfig, train: bool = True, fused: bool | None = None
     ) -> None:
-        """`fused=True` routes the post-warp elementwise chain through the
-        single Pallas kernel in augment/fused.py (same distributions,
-        different RNG draws — one stream per stage instead of per op).
+        """`fused` routes the post-warp elementwise chain through the single
+        Pallas kernel in augment/fused.py (same distributions, different RNG
+        draws — one stream per stage instead of per op).
 
-        Default is the XLA (unfused) path: on the current Mosaic lowering
-        the fused kernel measures ~5 ms per 256x256x5 image (vs the whole
-        XLA chain being bandwidth-bound), so the kernel stays opt-in until
-        its per-step cost is profiled down; it remains golden-tested against
-        the jnp oracle either way."""
+        Default (None) = auto: fused on TPU, unfused elsewhere. Measured
+        device-true at batch 256x256x256x5 on v5e: 14.2 ms (param sampling +
+        kernel) vs ~44 ms for the XLA op chain — the chain is HBM-bandwidth
+        bound and the kernel reads/writes each image once. (The round-1
+        "5 ms per image" verdict was a per-call host-RTT mismeasurement.)
+        The kernel stays golden-tested against the jnp oracle either way."""
         self.cfg = cfg
         self.train = train
+        if fused is None:
+            from perseus_tpu.augment.fused import fused_supported
+
+            fused = train and fused_supported()
         self.fused = bool(fused)
 
     def __call__(
@@ -137,6 +142,7 @@ class KeypointAugmentation:
             if cfg.random_transplantation_with_depth and c == 5:
                 images = ops.transplant_with_depth(keys[0], images)
 
+            mats = None
             if cfg.random_affine:
                 params = ops.sample_affine_params(
                     keys[1],
@@ -149,17 +155,33 @@ class KeypointAugmentation:
                     shear=cfg.shear,
                 )
                 mats = ops.affine_matrices(params, h, w)
-                images = ops.warp_affine_bilinear(images, mats)
-                coords = ops.transform_keypoints(coords, mats)
 
             if self.fused:
-                # one Pallas kernel for the whole post-warp elementwise chain
                 from perseus_tpu.augment import fused as fused_mod
 
+                interpret = jax.default_backend() != "tpu"
                 fused_params = fused_mod.sample_fused_params(keys[2], cfg, b, h, w, c)
-                images = fused_mod.fused_apply(images, fused_params)
+                if mats is not None and h == w:
+                    # warp + elementwise chain in ONE kernel: each image is
+                    # read from HBM once and written once for the whole
+                    # warp->erase->color->blur->shadow->depth stack
+                    images_sw, parts = ops._two_pass_setup(images, ops._invert_affine(mats))
+                    images = fused_mod.fused_warp_apply(
+                        images_sw, jnp.stack(parts, axis=-1), fused_params,
+                        interpret=interpret,
+                    )
+                    coords = ops.transform_keypoints(coords, mats)
+                else:
+                    if mats is not None:
+                        images = ops.warp_affine_bilinear(images, mats)
+                        coords = ops.transform_keypoints(coords, mats)
+                    images = fused_mod.fused_apply(images, fused_params, interpret=interpret)
                 coords = normalize_pixel_coordinates(coords, h, w)
                 return images, coords.reshape(*leading, -1)
+
+            if mats is not None:
+                images = ops.warp_affine_bilinear(images, mats)
+                coords = ops.transform_keypoints(coords, mats)
 
             if cfg.random_erasing:
                 images = ops.random_erasing(

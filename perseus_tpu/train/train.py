@@ -157,6 +157,10 @@ def make_train_step(
             mesh=mesh,
             in_specs=(P(), P("data"), P("data")),
             out_specs=(P("data"), P("data")),
+            # pallas_call (the fused augmentation kernel) does not annotate
+            # varying-mesh-axes metadata on its outputs; fall back to the
+            # classic replication check
+            check_vma=False,
         )(key, images_aug, coords)
 
     def step_core(
@@ -300,7 +304,24 @@ def _device_dataset(
     valid = (np.arange(n_pad) < n).astype(np.float32)
 
     sh = lambda spec: NamedSharding(mesh, spec)
-    d_images = jax.device_put(images, sh(P("data", None, None, None)))
+    img_sharding = sh(P("data", None, None, None))
+    upload_chunk = 128  # ~170 MB per transfer at 256x256x5 f32
+    if n_dev == 1 and images.nbytes > (1 << 30) and n_pad > upload_chunk:
+        # stream the upload in row chunks into a preallocated device buffer:
+        # multi-GB single transfers can exceed transport request limits, and
+        # chunking also avoids holding a second host-side copy
+        upd = jax.jit(
+            lambda buf, ch, st: jax.lax.dynamic_update_slice(buf, ch, (st, 0, 0, 0)),
+            donate_argnums=(0,),
+        )
+        d_images = jax.device_put(
+            jnp.zeros(images.shape, dtype=images.dtype), img_sharding
+        )
+        for s in range(0, n_pad, upload_chunk):
+            lo = min(s, n_pad - upload_chunk)  # final window re-covers earlier rows
+            d_images = upd(d_images, images[lo : lo + upload_chunk], jnp.int32(lo))
+    else:
+        d_images = jax.device_put(images, img_sharding)
     d_coords = jax.device_put(coords, sh(P("data", None, None)))
     d_weights = jax.device_put(weights, sh(P("data")))
     return d_images, d_coords, d_weights, valid, n_local

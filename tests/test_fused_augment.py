@@ -120,3 +120,31 @@ def test_pipeline_fused_path_shapes_and_coords():
     # the transplant + affine + coord path uses the same keys in both modes
     np.testing.assert_allclose(np.asarray(c_f), np.asarray(c_u), atol=1e-5)
     assert np.asarray(c_f).min() >= -1.0 and np.asarray(c_f).max() <= 1.0
+
+
+def test_fused_warp_kernel_matches_sequential(tmp_path):
+    """fused_warp_apply (warp + chain in one kernel) == warp_affine_bilinear
+    (pallas math, interpreted) followed by fused_apply."""
+    from perseus_tpu.augment import ops
+    from perseus_tpu.augment.fused import fused_warp_apply
+
+    b, h, w, c = 3, 64, 64, 5
+    rng = np.random.default_rng(5)
+    images = jnp.asarray(rng.uniform(0, 1, (b, h, w, c)).astype(np.float32))
+    cfg = AugmentationConfig()
+    p = sample_fused_params(jax.random.key(9), cfg, b, h, w, c)
+
+    aff = ops.sample_affine_params(
+        jax.random.key(3), b, h, w, degrees=90.0, translate=(0.1, 0.1),
+        scale=(0.9, 1.5), shear=0.1,
+    )
+    mats = ops.affine_matrices(aff, h, w)
+    inv = ops._invert_affine(mats)
+    images_sw, parts = ops._two_pass_setup(images, inv)
+
+    from perseus_tpu.augment.warp_pallas import warp_affine_pallas
+
+    warped = warp_affine_pallas(images_sw, jnp.stack(parts, axis=-1), interpret=True)
+    expected = fused_apply(warped, p, interpret=True)
+    combined = fused_warp_apply(images_sw, jnp.stack(parts, axis=-1), p, interpret=True)
+    np.testing.assert_allclose(np.asarray(combined), np.asarray(expected), atol=1e-5)
