@@ -47,9 +47,12 @@ def restore_train_state(directory: str, target: dict | None = None) -> dict:
 def load_model(path: str) -> tuple[dict[str, Any], dict[str, Any]]:
     """Loads (params, batch_stats) from an orbax dir or a reference .pth."""
     if path.endswith(".pth") or path.endswith(".pt"):
-        from perseus_tpu.models.convert import load_torch_checkpoint
+        # reference keypoint checkpoints load directly; bare torchvision
+        # resnet18 classifier checkpoints (the reference's pretrained init,
+        # models.py:20) are adapted: backbone kept, conv1/fc re-initialized
+        from perseus_tpu.models.pretrained import load_pretrained_checkpoint
 
-        return load_torch_checkpoint(path)
+        return load_pretrained_checkpoint(path)
     state = restore_train_state(path)
     return state["params"], state["batch_stats"]
 
