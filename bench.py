@@ -255,6 +255,7 @@ def read_scale_run_metrics() -> dict:
             m = json.load(f)
         return {
             "val_rmse_px": m.get("val_rmse_px"),
+            "val_median_corner_err_px": m.get("val_median_corner_err_px"),
             "val_loss": m.get("val_loss"),
             "scale_run_epochs": m.get("epochs"),
             "scale_run_train_frames": m.get("n_train"),

@@ -77,12 +77,20 @@ def val_rmse_px(state, cfg_train, mesh, dd_val) -> float:
 
     data_sharded = NamedSharding(mesh, P("data"))
 
+    from perseus_tpu.augment.pipeline import KeypointAugmentation
+
+    val_aug = KeypointAugmentation(cfg_train.augmentation_config, train=False)
+
     @jax.jit
     def sq_err_sum(state, vi, vc, idx, mask):
         # val arrays passed as args (never closed over: a closure constant
         # can be inlined into the serialized HLO, see the tunnel 413 note)
         imgs = jnp.take(vi, idx, axis=0)
         crds = jnp.take(vc, idx, axis=0)
+        # the val-mode depth near/far clamp the model was evaluated with in
+        # training — skipping it feeds out-of-distribution depth and
+        # roughly triples the reported RMSE
+        imgs, _ = val_aug(jax.random.key(0), imgs, crds)
         from perseus_tpu.models import resnet
 
         pred, _ = resnet.keypoint_cnn_apply(
@@ -93,17 +101,18 @@ def val_rmse_px(state, cfg_train, mesh, dd_val) -> float:
 
         pred_px = denormalize_pixel_coordinates(pred.reshape(pred.shape[0], -1, 2), h, w)
         d2 = jnp.sum((pred_px - crds) ** 2, axis=-1)  # (B, K)
-        return jnp.sum(jnp.mean(d2, axis=-1) * mask), jnp.sum(mask)
+        return jnp.sum(jnp.mean(d2, axis=-1) * mask), jnp.sum(mask), jnp.sqrt(d2)
 
     valid2d = v_valid.reshape(n_dev, v_n_local)
     total, count = 0.0, 0.0
+    corner_errs = []
     for s in range(-(-v_n_local // local_bs)):
         length = min(local_bs, v_n_local - s * local_bs)
         idx2 = np.zeros((n_dev, local_bs), np.int32)
         mask2 = np.zeros((n_dev, local_bs), np.float32)
         idx2[:, :length] = np.arange(s * local_bs, s * local_bs + length)
         mask2[:, :length] = valid2d[:, s * local_bs : s * local_bs + length]
-        t, c = sq_err_sum(
+        t, c, errs = sq_err_sum(
             state,
             v_imgs,
             v_crds,
@@ -112,7 +121,13 @@ def val_rmse_px(state, cfg_train, mesh, dd_val) -> float:
         )
         total += float(t)
         count += float(c)
-    return float(np.sqrt(total / max(count, 1.0)))
+        corner_errs.append(np.asarray(errs)[np.asarray(mask2.reshape(-1)) > 0])
+    errs = np.concatenate(corner_errs)
+    return {
+        "val_rmse_px": float(np.sqrt(total / max(count, 1.0))),
+        "val_median_corner_err_px": float(np.median(errs)),
+        "val_p90_corner_err_px": float(np.percentile(errs, 90)),
+    }
 
 
 def main() -> None:
@@ -143,7 +158,7 @@ def main() -> None:
     val_ds = PrunedKeypointDataset(tcfg.dataset_config, train=False, cache=False)
     train_ds = PrunedKeypointDataset(tcfg.dataset_config, train=True, cache=False)
     dd_val = tm._device_dataset(val_ds, tcfg, mesh, use_transplant=False)
-    rmse = val_rmse_px(state, tcfg, mesh, dd_val)
+    rmse_stats = val_rmse_px(state, tcfg, mesh, dd_val)
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     from perseus_tpu.train import checkpoint as ckpt
@@ -159,7 +174,7 @@ def main() -> None:
         },
     )
     metrics = {
-        "val_rmse_px": rmse,
+        **rmse_stats,
         "val_loss": result["final_val_loss"],
         "train_loss": result["final_train_loss"],
         "epochs": cfg.epochs,
