@@ -520,6 +520,24 @@ def lm_solve(
         _, _, it, _ = carry
         return it < cfg.max_iterations
 
+    if not cfg.accept_reject:
+        # incremental GN runs a FIXED iteration count with no data-dependent
+        # control flow: unroll instead of lax.while_loop, letting XLA
+        # software-pipeline and fuse across iterations (a while_loop body
+        # compiles as an opaque region with full entry/exit barriers)
+        # no upfront cost(state) either: each GN step's normal equations
+        # already yield the cost at its linearization point as a byproduct
+        carry = (
+            state,
+            jnp.asarray(cfg.lambda_init, dtype=state.trans.dtype),
+            0,
+            jnp.zeros((), dtype=state.trans.dtype),
+        )
+        for _ in range(cfg.max_iterations):
+            carry = step(carry)
+        final_state, _, _, final_cost = carry
+        return final_state, final_cost
+
     init = (state, jnp.asarray(cfg.lambda_init, dtype=state.trans.dtype), 0, cost(state))
     final_state, _, _, final_cost = jax.lax.while_loop(cond, step, init)
     return final_state, final_cost
