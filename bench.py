@@ -15,6 +15,12 @@ Measurement notes:
   * Smoother latency is measured device-true by chaining K updates inside
     one jitted lax.scan and dividing — the per-update number XLA actually
     delivers, independent of host round-trips.
+  * Every chained program returns ONE scalar and uses a long chain
+    (K = 40-128): each result leaf costs a full host round-trip on
+    readback (~26 ms on a tunneled dev chip — measured: a noop scan with a
+    10-leaf carry returned per-call overhead of ~278 ms regardless of
+    chain length), so multi-leaf outputs or short chains silently inflate
+    per-step numbers.
 
 Secondary numbers (printed to stderr): smoother p50 update latency and
 blocking single-call latency for reference.
@@ -72,8 +78,10 @@ def bench_detector() -> float:
     # Chain K forwards INSIDE one jitted program with a data dependence
     # (each iteration perturbs the input with the previous logits), so the
     # measurement is pure device time: no per-call host round-trips, and no
-    # host-side execution caching can elide iterations.
-    K = 10
+    # host-side execution caching can elide iterations. K amortizes the
+    # per-call dispatch+readback overhead (~26 ms through a tunnel) and the
+    # output is ONE scalar — every result leaf costs a full host round-trip.
+    K = 40
 
     @jax.jit
     def forward_chain(x):
@@ -82,7 +90,7 @@ def bench_detector() -> float:
             x = x + jnp.mean(out) * 1e-9
             return x, jnp.mean(out)
         _, outs = jax.lax.scan(body, x, None, length=K)
-        return outs
+        return jnp.sum(outs)
 
     base = np.asarray(images)
     step = (
@@ -108,7 +116,7 @@ def _bench_smoother_cfg(cfg, label: str) -> float:
     intr = intrinsics_from_fov(jnp.asarray(1.0), 256, 256)
     smoother = FixedLagSmoother(cfg, intr, cube_corners(0.035).astype(jnp.float32))
     carry = smoother.init()
-    k = 32
+    k = 128
     meas_seq = jnp.asarray(
         np.random.default_rng(1).uniform(64, 192, size=(k, 8, 2)).astype(np.float32)
     )
@@ -119,7 +127,9 @@ def _bench_smoother_cfg(cfg, label: str) -> float:
             c2, pose = smoother.update(c, m)
             return c2, pose.trans
 
-        return jax.lax.scan(body, c, ms)
+        c2, traces = jax.lax.scan(body, c, ms)
+        # ONE scalar out: each result leaf is a host round-trip on readback
+        return jnp.sum(traces) + jnp.sum(c2.window.trans)
 
     base = np.asarray(meas_seq)
     p50_ms = (
@@ -169,19 +179,23 @@ def bench_streaming() -> float:
     )
     pipeline = StreamingPipeline(cfg, params=params, batch_stats=stats)
     carry = pipeline.init_carry()
-    k = 16
+    k = 64
+    n_frames = 8  # uploaded once; the chain cycles them with a perturbation
     frames = jnp.asarray(
-        np.random.default_rng(2).uniform(0, 1, size=(k, 376, 672, 4)).astype(np.float32)
+        np.random.default_rng(2).uniform(0, 1, size=(n_frames, 376, 672, 4)).astype(np.float32)
     )  # ZED VGA-ish resolution, cropped on device
 
     step = pipeline._step
 
     @jax.jit
     def run(c, fs):
-        def body(c, f):
+        def body(carry_, i):
+            c, bias = carry_
+            f = jax.lax.dynamic_index_in_dim(fs, i % n_frames, keepdims=False) + bias
             kps, _, c2, pose = step(f, c)
-            return c2, pose.trans
-        return jax.lax.scan(body, c, fs)
+            return (c2, bias + jnp.sum(pose.trans) * 1e-12), pose.trans
+        (c2, _), traces = jax.lax.scan(body, (c, jnp.float32(0.0)), jnp.arange(k))
+        return jnp.sum(traces) + jnp.sum(c2.window.trans)
 
     base = np.asarray(frames)
     p50 = (
@@ -213,7 +227,7 @@ def bench_train_step() -> float:
     state = tm.init_state(cfg, optimizer, tm.make_mesh(n_devices=1))
     aug = KeypointAugmentation(cfg.augmentation_config, train=True)
     step = tm.make_train_step(cfg, optimizer, aug)
-    k = 4
+    k = 16
 
     @jax.jit
     def run(st, img, crd, key):
@@ -222,11 +236,14 @@ def bench_train_step() -> float:
             st2, loss = step(st, img, crd, jax.random.fold_in(key, i))
             return (st2, img + loss * 1e-9), loss  # data dependence
         (st, _), losses = jax.lax.scan(body, (st, img), jnp.arange(k))
-        return losses
+        return jnp.sum(losses)
 
     step_s = (
         _time_salted(
-            lambda i: (state, images, coords, jax.random.key(i)),
+            # rbg = the TPU hardware bit generator the training loop uses
+            # (TrainConfig.rng_impl); threefry would bill ~4 ms/step of
+            # counter-mode hashing to the augmentation field sampling
+            lambda i: (state, images, coords, jax.random.key(i, impl="rbg")),
             run,
         )
         / k

@@ -72,6 +72,15 @@ class TrainConfig:
     # Cache decoded images in host RAM (skips per-epoch PNG/TIFF decode).
     cache_dataset: bool = False
 
+    # PRNG implementation for the training/augmentation key stream.
+    # "rbg" uses the TPU's hardware random-bit generator — several times
+    # cheaper than threefry for the per-pixel augmentation fields, which are
+    # a measurable slice of the step. Deterministic for a fixed key on a
+    # fixed backend (jax documents possible draw changes across
+    # backends/jaxlib versions — acceptable for augmentation). Set
+    # "threefry2x32" for jax's default portable stream.
+    rng_impl: str = "rbg"
+
     # Keep the ENTIRE decoded dataset resident in device HBM, sharded over
     # the data mesh axis, and gather each batch on-device (shard-local
     # permutations). Removes the per-step host->device image upload — the

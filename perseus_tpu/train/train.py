@@ -509,7 +509,7 @@ def train(cfg: TrainConfig) -> dict:
     else:
         run_id = ptlog.generate_id()
     run = ptlog.init(cfg.wandb_project, config=cfg, run_id=run_id) if jax.process_index() == 0 else None
-    run_key = jax.random.key(cfg.random_seed)
+    run_key = jax.random.key(cfg.random_seed, impl=cfg.rng_impl)
 
     global_step = start_epoch * max(1, len(train_dataset) // cfg.batch_size)
     last_val_loss = float("nan")
