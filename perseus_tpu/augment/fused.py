@@ -51,6 +51,7 @@ __all__ = [
     "sample_fused_params",
     "fused_apply",
     "fused_warp_apply",
+    "fused_ultra_apply",
     "reference_apply",
     "fused_supported",
 ]
@@ -330,28 +331,20 @@ def _kernel(scalars_ref, img_ref, plasma_ref, fields_ref, out_ref):
         out_ref[0, k] = out[k]
 
 
-def _kernel_warp(scalars_ref, img_ref, rho_ref, gam_ref, plasma_ref, fields_ref, out_ref):
-    """Affine warp (two-pass lane gathers, as in warp_pallas) + the fused
-    elementwise chain, in ONE kernel: each image is read from HBM once,
-    warped and augmented entirely in VMEM, and written once."""
+def _warp_planes(planes, rho_t, gam, s, w):
+    """Two-pass affine warp of channel planes via lane gathers (the
+    warp_pallas math, shared by the fused kernels)."""
     from perseus_tpu.augment.warp_pallas import _gather_cols
 
-    i = pl.program_id(0)
-    c = img_ref.shape[1]
-    _, _, h, w = out_ref.shape
-    s = img_ref.shape[2]
     f32 = jnp.float32
-
-    rhoT = rho_ref[0]
-    r0 = jnp.floor(rhoT)
-    fv = rhoT - r0
+    r0 = jnp.floor(rho_t)
+    fv = rho_t - r0
     i0 = r0.astype(jnp.int32)
     v_idx0 = jnp.clip(i0, 0, s - 1)
     v_idx1 = jnp.clip(i0 + 1, 0, s - 1)
     v_w0 = ((i0 >= 0) & (i0 < s)).astype(f32) * (1.0 - fv)
     v_w1 = ((i0 + 1 >= 0) & (i0 + 1 < s)).astype(f32) * fv
 
-    gam = gam_ref[0]
     g0 = jnp.floor(gam)
     fh = gam - g0
     j0 = g0.astype(jnp.int32)
@@ -360,18 +353,81 @@ def _kernel_warp(scalars_ref, img_ref, rho_ref, gam_ref, plasma_ref, fields_ref,
     h_w0 = ((j0 >= 0) & (j0 < w)).astype(f32) * (1.0 - fh)
     h_w1 = ((j0 + 1 >= 0) & (j0 + 1 < w)).astype(f32) * fh
 
-    planes = []
-    for ci in range(c):
-        plane_t = img_ref[0, ci].T  # (W_in, S)
-        inter_t = _gather_cols(plane_t, v_idx0) * v_w0 + _gather_cols(plane_t, v_idx1) * v_w1
+    out = []
+    for p in planes:
+        inter_t = _gather_cols(p.T, v_idx0) * v_w0 + _gather_cols(p.T, v_idx1) * v_w1
         inter = inter_t.T
-        planes.append(_gather_cols(inter, h_idx0) * h_w0 + _gather_cols(inter, h_idx1) * h_w1)
+        out.append(_gather_cols(inter, h_idx0) * h_w0 + _gather_cols(inter, h_idx1) * h_w1)
+    return out
 
+
+def _transplant_planes(planes, donor, lb: float, ub: float):
+    """Depth-layered donor transplantation on channel planes — the kernel
+    form of ops.transplant_with_depth (same mask algebra)."""
+    f32 = planes[0].dtype
+    depth, seg = planes[3], planes[4]
+    d_depth, d_seg = donor[3], donor[4]
+    acc_cube = seg == 1.0
+    donor_cube = d_seg == 1.0
+    donor_mask = (~acc_cube) | ((d_depth * acc_cube) < (depth * acc_cube))
+    donor_mask = donor_mask & ~donor_cube
+    new_planes = [jnp.where(donor_mask, donor[k], planes[k]) for k in range(4)]
+    new_seg = 1.0 - donor_mask.astype(f32)
+    new_seg = jnp.where(donor_cube & ~acc_cube, 0.0, new_seg)
+    new_planes.append(new_seg)
+    ratio = jnp.mean(new_seg)
+    ok = (ratio >= lb) & (ratio <= ub)
+    return [jnp.where(ok, n, o) for n, o in zip(new_planes, planes)]
+
+
+def _kernel_warp(scalars_ref, img_ref, rho_ref, gam_ref, plasma_ref, fields_ref, out_ref):
+    """Affine warp (two-pass lane gathers, as in warp_pallas) + the fused
+    elementwise chain, in ONE kernel: each image is read from HBM once,
+    warped and augmented entirely in VMEM, and written once."""
+    i = pl.program_id(0)
+    c = img_ref.shape[1]
+    _, _, h, w = out_ref.shape
+    s = img_ref.shape[2]
+
+    planes = [img_ref[0, ci] for ci in range(c)]
+    planes = _warp_planes(planes, rho_ref[0], gam_ref[0], s, w)
     sv = [scalars_ref[i, k] for k in range(N_SCALARS)]
     fields = [fields_ref[0, k] for k in range(3)]
     out = _chain_planes(planes, plasma_ref[0], fields, sv)
     for k in range(c):
         out_ref[0, k] = out[k]
+
+
+def _make_ultra_kernel(lb: float, ub: float):
+    """Kernel factory: transplantation (prefetch-indexed donor block) ->
+    conditional swap transpose -> two-pass warp -> fused elementwise chain.
+    The ENTIRE train-time augmentation pipeline in one VMEM-resident pass."""
+
+    def kernel(
+        scalars_ref, donor_ref, img_ref, donor_img_ref, rho_ref, gam_ref,
+        plasma_ref, fields_ref, out_ref,
+    ):
+        i = pl.program_id(0)
+        c = img_ref.shape[1]
+        _, _, h, w = out_ref.shape
+        s = img_ref.shape[2]
+
+        planes = [img_ref[0, ci] for ci in range(c)]
+        donor = [donor_img_ref[0, ci] for ci in range(c)]
+        planes = _transplant_planes(planes, donor, lb, ub)
+        # the Catmull-Smith swap prologue, applied in VMEM after the
+        # transplant (acceptor and donor must composite in the ORIGINAL
+        # orientation; their swap flags can differ)
+        swap = scalars_ref[i, N_SCALARS] > 0.5
+        planes = [jnp.where(swap, p.T, p) for p in planes]
+        planes = _warp_planes(planes, rho_ref[0], gam_ref[0], s, w)
+        sv = [scalars_ref[i, k] for k in range(N_SCALARS)]
+        fields = [fields_ref[0, k] for k in range(3)]
+        out = _chain_planes(planes, plasma_ref[0], fields, sv)
+        for k in range(c):
+            out_ref[0, k] = out[k]
+
+    return kernel
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -464,6 +520,77 @@ def fused_warp_apply(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(params["scalars"], planes, rho_t, gam, params["plasma"], params["fields"])
+    return jnp.moveaxis(out, 1, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("lb", "ub", "interpret"))
+def fused_ultra_apply(
+    images: jnp.ndarray,  # (B, H, W, C=5) float32, ORIGINAL orientation
+    donor_idx: jnp.ndarray,  # (B,) int32 donor element per image
+    swap: jnp.ndarray,  # (B,) bool two-pass swap flags (ops._two_pass_params)
+    warp_params: jnp.ndarray,  # (B, 6): i00, i01, t0, p, q, r (swap-adjusted)
+    params: dict,
+    lb: float = 0.02,
+    ub: float = 0.7,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Transplantation + affine warp + the fused elementwise chain in ONE
+    Pallas kernel. The donor image block arrives by indexing the SAME input
+    array with a prefetch-scalar index map (no materialized gathered copy),
+    so the whole train-time augmentation is one HBM read (+ one donor-block
+    read) and one write per image."""
+    b, h, w, c = images.shape
+    f32 = jnp.float32
+    i00, i01, t0, p, q, r = (warp_params[:, k].astype(f32) for k in range(6))
+    ys = jnp.arange(h, dtype=f32)
+    xs = jnp.arange(w, dtype=f32)
+    rho_t = (
+        q[:, None, None] * ys[None, None, :]
+        + p[:, None, None] * xs[None, :, None]
+        + r[:, None, None]
+    )
+    gam = (
+        i01[:, None, None] * ys[None, :, None]
+        + i00[:, None, None] * xs[None, None, :]
+        + t0[:, None, None]
+    )
+    rho_t, gam = jax.lax.optimization_barrier((rho_t, gam))
+
+    params = jax.tree.map(lambda x: x.astype(f32), params)
+    scalars = jnp.concatenate(
+        [params["scalars"], swap.astype(f32)[:, None]], axis=-1
+    )  # (B, N_SCALARS + 1)
+    planes = jnp.moveaxis(images.astype(f32), -1, 1)  # (B, C, H, W)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # scalars + donor_idx
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, c, h, w), lambda i, s_, d_: (i, 0, 0, 0)),
+            pl.BlockSpec((1, c, h, w), lambda i, s_, d_: (d_[i], 0, 0, 0)),
+            pl.BlockSpec((1, w, h), lambda i, s_, d_: (i, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i, s_, d_: (i, 0, 0)),
+            pl.BlockSpec((1, h, w), lambda i, s_, d_: (i, 0, 0)),
+            pl.BlockSpec((1, 3, h, w), lambda i, s_, d_: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, c, h, w), lambda i, s_, d_: (i, 0, 0, 0)),
+    )
+    out = pl.pallas_call(
+        _make_ultra_kernel(lb, ub),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), f32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        scalars,
+        donor_idx.astype(jnp.int32),
+        planes,
+        planes,
+        rho_t,
+        gam,
+        params["plasma"],
+        params["fields"],
+    )
     return jnp.moveaxis(out, 1, -1)
 
 

@@ -134,11 +134,18 @@ def depth_plane_clamp(
 # --------------------------------------------------------------------------
 
 
+def sample_donor_indices(key: jax.Array, b: int) -> jnp.ndarray:
+    """A random *different* donor element for each batch element."""
+    offsets = jax.random.randint(key, (b,), 1, b)
+    return (jnp.arange(b) + offsets) % b
+
+
 def transplant_with_depth(
     key: jax.Array,
     images: jnp.ndarray,
     lb_seg_ratio: float = 0.02,
     ub_seg_ratio: float = 0.7,
+    donor_idx: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Depth-layered donor transplantation on 5-channel (RGB+D+seg) batches.
 
@@ -154,8 +161,8 @@ def transplant_with_depth(
     depth = images[..., 3]
     seg = images[..., 4]
 
-    offsets = jax.random.randint(key, (b,), 1, b)
-    donor_idx = (jnp.arange(b) + offsets) % b
+    if donor_idx is None:
+        donor_idx = sample_donor_indices(key, b)
     donor = images[donor_idx]
     donor_rgb = donor[..., :3]
     donor_depth = donor[..., 3]
@@ -390,25 +397,18 @@ def _axis_resample(
     return out.transpose(1, 0, 2, 3, 4).reshape(b, hout, w, c)
 
 
-def _two_pass_setup(images: jnp.ndarray, inv: jnp.ndarray):
-    """Swap prologue + per-image parameters of the Catmull-Smith two-pass
-    affine decomposition (shared by the MXU and Pallas warp backends).
+def _two_pass_params(inv: jnp.ndarray):
+    """Per-image parameters of the Catmull-Smith two-pass affine
+    decomposition: returns (swap (B,) bool, (i00, i01, t0, p, q, r)).
 
     The decomposition's first pass needs |i00| >= |i10| (it divides by i00,
     and i00 -> 0 at +-90 deg rotations); images failing that are transposed
-    and their inverse-map rows/columns swapped, which is the same warp
-    relabeled — no second pass order needed. Returns the (possibly
-    transposed) images and (i00, i01, t0, p, q, r): the pass-2 horizontal
-    map and the pass-1 vertical map coefficients.
+    (`swap`) and their inverse-map rows/columns swapped, which is the same
+    warp relabeled — no second pass order needed.
     """
-    b, h, w, c = images.shape
-    assert h == w, "two-pass warp requires square images"
     i00, i01, t0 = inv[:, 0, 0], inv[:, 0, 1], inv[:, 0, 2]
     i10, i11, t1 = inv[:, 1, 0], inv[:, 1, 1], inv[:, 1, 2]
     swap = jnp.abs(i00) < jnp.abs(i10)
-    # transposing the SOURCE swaps the roles of the two source coordinates:
-    # relabel by swapping the inverse map's rows
-    images = jnp.where(swap[:, None, None, None], jnp.swapaxes(images, 1, 2), images)
     i00, i10 = jnp.where(swap, i10, i00), jnp.where(swap, i00, i10)
     i01, i11 = jnp.where(swap, i11, i01), jnp.where(swap, i01, i11)
     t0, t1 = jnp.where(swap, t1, t0), jnp.where(swap, t0, t1)
@@ -418,7 +418,17 @@ def _two_pass_setup(images: jnp.ndarray, inv: jnp.ndarray):
     p = i10 / i00
     q = i11 - p * i01
     r = t1 - p * t0
-    return images, (i00, i01, t0, p, q, r)
+    return swap, (i00, i01, t0, p, q, r)
+
+
+def _two_pass_setup(images: jnp.ndarray, inv: jnp.ndarray):
+    """Swap prologue applied in XLA + the two-pass parameters (shared by the
+    MXU and Pallas warp backends); see :func:`_two_pass_params`."""
+    b, h, w, c = images.shape
+    assert h == w, "two-pass warp requires square images"
+    swap, parts = _two_pass_params(inv)
+    images = jnp.where(swap[:, None, None, None], jnp.swapaxes(images, 1, 2), images)
+    return images, parts
 
 
 def _warp_affine_mxu(

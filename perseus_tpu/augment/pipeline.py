@@ -139,7 +139,16 @@ class KeypointAugmentation:
         if self.train:
             keys = jax.random.split(key, 10)
 
-            if cfg.random_transplantation_with_depth and c == 5:
+            # the ultra kernel folds transplantation in too (donor block by
+            # prefetch-indexed block spec); otherwise transplant in XLA here
+            use_ultra = (
+                self.fused
+                and cfg.random_transplantation_with_depth
+                and c == 5
+                and cfg.random_affine
+                and h == w
+            )
+            if cfg.random_transplantation_with_depth and c == 5 and not use_ultra:
                 images = ops.transplant_with_depth(keys[0], images)
 
             mats = None
@@ -161,7 +170,15 @@ class KeypointAugmentation:
 
                 interpret = jax.default_backend() != "tpu"
                 fused_params = fused_mod.sample_fused_params(keys[2], cfg, b, h, w, c)
-                if mats is not None and h == w:
+                if use_ultra:
+                    donor_idx = ops.sample_donor_indices(keys[0], b)
+                    swap, parts = ops._two_pass_params(ops._invert_affine(mats))
+                    images = fused_mod.fused_ultra_apply(
+                        images, donor_idx, swap, jnp.stack(parts, axis=-1),
+                        fused_params, interpret=interpret,
+                    )
+                    coords = ops.transform_keypoints(coords, mats)
+                elif mats is not None and h == w:
                     # warp + elementwise chain in ONE kernel: each image is
                     # read from HBM once and written once for the whole
                     # warp->erase->color->blur->shadow->depth stack

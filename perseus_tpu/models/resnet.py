@@ -155,10 +155,14 @@ def _batchnorm(
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
     if train:
         # torch: normalize with biased batch stats; update running stats with
-        # the unbiased variance.
+        # the unbiased variance. Var as E[x^2] - E[x]^2: both moments reduce
+        # in ONE multi-output pass over the activations (jnp.var's centered
+        # form re-reads x after computing the mean — a second full HBM
+        # traversal per BN, forward and backward). f32 accumulation keeps
+        # the cancellation error ~1e-7 relative for post-conv activations.
         xf = x.astype(acc_dtype)
         mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.var(xf, axis=(0, 1, 2))
+        var = jnp.maximum(jnp.mean(xf * xf, axis=(0, 1, 2)) - mean * mean, 0.0)
         if new_stats is not None:
             n = x.shape[0] * x.shape[1] * x.shape[2]
             unbiased = var * (n / max(n - 1, 1))

@@ -556,11 +556,17 @@ def train(cfg: TrainConfig) -> dict:
                     (d_w,) if cfg.use_example_weights else ()
                 )
                 state, loss = dd_train_step(*step_args)
-                loss_val = float(loss)
-                epoch_losses.append(loss_val)
-                n_images += cfg.batch_size
                 if run is not None:
+                    loss_val = float(loss)
                     run.log({"loss": loss_val})
+                    epoch_losses.append(loss_val)
+                else:
+                    # no logger attached: keep the loss as a device scalar —
+                    # a float() here would force a host sync every step (a
+                    # full round-trip on remote-attached chips) and
+                    # serialize the step pipeline
+                    epoch_losses.append(loss)
+                n_images += cfg.batch_size
                 global_step += 1
                 maybe_profile(loss)
         else:
@@ -579,15 +585,20 @@ def train(cfg: TrainConfig) -> dict:
                     (sharded["weight"],) if cfg.use_example_weights else ()
                 )
                 state, loss = train_step(*step_args)
-                loss_val = float(loss)
-                epoch_losses.append(loss_val)
-                n_images += images_aug.shape[0]
                 if run is not None:
+                    loss_val = float(loss)
                     run.log({"loss": loss_val})
+                    epoch_losses.append(loss_val)
+                else:
+                    epoch_losses.append(loss)  # see the device-data branch
+                n_images += images_aug.shape[0]
                 global_step += 1
                 maybe_profile(loss)
+        if epoch_losses:
+            jax.block_until_ready(epoch_losses[-1])  # close the async pipeline
         epoch_time = time.time() - t0
         throughput = n_images * jax.process_count() / max(epoch_time, 1e-9)
+        epoch_losses = [float(l) for l in epoch_losses]
 
         if epoch % cfg.print_epochs == 0 and jax.process_index() == 0:
             print(

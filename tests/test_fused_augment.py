@@ -148,3 +148,39 @@ def test_fused_warp_kernel_matches_sequential(tmp_path):
     expected = fused_apply(warped, p, interpret=True)
     combined = fused_warp_apply(images_sw, jnp.stack(parts, axis=-1), p, interpret=True)
     np.testing.assert_allclose(np.asarray(combined), np.asarray(expected), atol=1e-5)
+
+
+def test_fused_ultra_kernel_matches_sequential():
+    """fused_ultra_apply (transplant + swap + warp + chain in one kernel) ==
+    transplant_with_depth -> warp_affine_pallas -> fused_apply with shared
+    donor indices."""
+    from perseus_tpu.augment import ops
+    from perseus_tpu.augment.fused import fused_ultra_apply
+    from perseus_tpu.augment.warp_pallas import warp_affine_pallas
+
+    b, h, w, c = 4, 64, 64, 5
+    rng = np.random.default_rng(6)
+    images = rng.uniform(0, 1, (b, h, w, c)).astype(np.float32)
+    images[..., 4] = (images[..., 4] > 0.6).astype(np.float32)  # binary seg
+    images = jnp.asarray(images)
+    cfg = AugmentationConfig()
+    p = sample_fused_params(jax.random.key(11), cfg, b, h, w, c)
+    donor_idx = ops.sample_donor_indices(jax.random.key(4), b)
+
+    aff = ops.sample_affine_params(
+        jax.random.key(3), b, h, w, degrees=90.0, translate=(0.1, 0.1),
+        scale=(0.9, 1.5), shear=0.1,
+    )
+    mats = ops.affine_matrices(aff, h, w)
+    inv = ops._invert_affine(mats)
+    swap, parts = ops._two_pass_params(inv)
+
+    transplanted = ops.transplant_with_depth(jax.random.key(0), images, donor_idx=donor_idx)
+    t_sw = jnp.where(swap[:, None, None, None], jnp.swapaxes(transplanted, 1, 2), transplanted)
+    warped = warp_affine_pallas(t_sw, jnp.stack(parts, axis=-1), interpret=True)
+    expected = fused_apply(warped, p, interpret=True)
+
+    combined = fused_ultra_apply(
+        images, donor_idx, swap, jnp.stack(parts, axis=-1), p, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(combined), np.asarray(expected), atol=1e-5)
