@@ -90,6 +90,13 @@ class TrainConfig:
     # (a 7k-frame 256x256 RGBD+seg split is ~9 GB; v5e has 16 GB/chip).
     data_on_device: bool = False
 
+    # Storage dtype for the device-resident dataset. "bfloat16" halves HBM
+    # and upload cost (a ~9k-frame 256x256 split drops 12 GB -> 6 GB); the
+    # augmentation kernel computes in f32 regardless, and the depth
+    # channel's bf16 quantization (~2 mm at cube scale) is below the 5 mm
+    # depth-noise augmentation. RGB/seg are unaffected ([0,1] values).
+    device_data_dtype: str = "float32"
+
     # LR plateau schedule (reference: train.py:200).
     plateau_patience: int = 5
     plateau_factor: float = 0.25

@@ -292,11 +292,14 @@ def _device_dataset(
     n_local = -(-n // n_dev)
     n_pad = n_local * n_dev
 
+    store_dtype = jnp.dtype(cfg.device_data_dtype)
     order = np.arange(n_pad) % n
     imgs_parts, crd_parts = [], []
     for s in range(0, n_pad, chunk):
         batch = dataset.batch(order[s : s + chunk])
-        imgs_parts.append(_prepare_aug_batch(batch, cfg.in_channels, use_transplant))
+        imgs_parts.append(
+            _prepare_aug_batch(batch, cfg.in_channels, use_transplant).astype(store_dtype)
+        )
         crd_parts.append(np.asarray(batch["pixel_coordinates"], dtype=np.float32))
     images = np.concatenate(imgs_parts)
     coords = np.concatenate(crd_parts)

@@ -309,3 +309,15 @@ def test_device_dataset_val_counts_each_row_once(tiny_cfg):
         mask2[:, :length] = valid2d[:, s * local_bs : s * local_bs + length]
         counted += mask2.sum()
     assert counted == len(ds)
+
+
+def test_data_on_device_bf16_storage(tiny_cfg):
+    """bf16 device-dataset storage trains end-to-end with finite losses."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_cfg, data_on_device=True, device_data_dtype="bfloat16", n_epochs=1
+    )
+    result = train_mod.train(cfg)
+    assert np.isfinite(result["final_train_loss"])
+    assert np.isfinite(result["final_val_loss"])
