@@ -41,6 +41,9 @@ class ScaleRunConfig:
     seg_lb: float = 0.02
     seg_ub: float = 0.7
     skip_prepare: bool = False  # reuse an existing pruned.hdf5
+    # bf16 halves the in-HBM dataset (see TrainConfig.device_data_dtype);
+    # needed beyond ~7k frames on a 16 GB chip
+    data_dtype: str = "bfloat16"
 
 
 def prepare_dataset(cfg: ScaleRunConfig) -> str:
@@ -146,6 +149,7 @@ def main() -> None:
         n_epochs=cfg.epochs,
         dataset_config=KeypointDatasetConfig(dataset_path=pruned),
         data_on_device=True,
+        device_data_dtype=cfg.data_dtype,
         save_epochs=max(1, cfg.epochs // 4),
         wandb_project="",
     )
