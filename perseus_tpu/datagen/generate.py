@@ -82,7 +82,60 @@ class VideoConfig:
     # False reverts to pure ballistics
     ground_contact: bool = True
 
+    # Domain-randomization style family. "train" draws materials / lighting /
+    # background textures from the training ranges; "holdout" draws from
+    # DISJOINT ranges (rougher->shinier materials, low sun, striped darker
+    # textures) so validation on holdout-style videos measures whether the
+    # randomization transfers to unseen appearance — the purpose of the
+    # reference's HDRI/material randomization (generate_one_video.py:229-317).
+    style: str = "train"
+    # objects are padded (inactive) to this count so the jitted renderer
+    # compiles ONCE for the whole run instead of per distinct object count
+    max_objects: int = 24
+
     seed: int = 0
+
+
+def _np_so3_exp(w: np.ndarray) -> np.ndarray:
+    """Rodrigues' formula in plain numpy: (3,) axis-angle -> (3, 3) rotation.
+    The sim loop calls this hundreds of times per video; a jnp round-trip
+    per call would dominate datagen wall time (dispatch overhead, and a full
+    network round-trip under a remote-attached backend)."""
+    theta = float(np.linalg.norm(w))
+    if theta < 1e-9:
+        return np.eye(3)
+    k = w / theta
+    kx = np.array(
+        [[0, -k[2], k[1]], [k[2], 0, -k[0]], [-k[1], k[0], 0]], dtype=np.float64
+    )
+    return (np.eye(3) + np.sin(theta) * kx + (1 - np.cos(theta)) * (kx @ kx)).astype(
+        w.dtype if w.dtype.kind == "f" else np.float64
+    )
+
+
+def _np_rot_to_quat_wxyz(r: np.ndarray) -> np.ndarray:
+    """(3, 3) rotation -> (4,) quaternion wxyz (Shepperd's method), numpy."""
+    t = np.trace(r)
+    if t > 0:
+        s = np.sqrt(t + 1.0) * 2
+        return np.array(
+            [0.25 * s, (r[2, 1] - r[1, 2]) / s, (r[0, 2] - r[2, 0]) / s, (r[1, 0] - r[0, 1]) / s]
+        )
+    i = int(np.argmax(np.diag(r)))
+    if i == 0:
+        s = np.sqrt(1.0 + r[0, 0] - r[1, 1] - r[2, 2]) * 2
+        return np.array(
+            [(r[2, 1] - r[1, 2]) / s, 0.25 * s, (r[0, 1] + r[1, 0]) / s, (r[0, 2] + r[2, 0]) / s]
+        )
+    if i == 1:
+        s = np.sqrt(1.0 - r[0, 0] + r[1, 1] - r[2, 2]) * 2
+        return np.array(
+            [(r[0, 2] - r[2, 0]) / s, (r[0, 1] + r[1, 0]) / s, 0.25 * s, (r[1, 2] + r[2, 1]) / s]
+        )
+    s = np.sqrt(1.0 - r[0, 0] - r[1, 1] + r[2, 2]) * 2
+    return np.array(
+        [(r[1, 0] - r[0, 1]) / s, (r[0, 2] + r[2, 0]) / s, (r[1, 2] + r[2, 1]) / s, 0.25 * s]
+    )
 
 
 def _look_at_blender(position: np.ndarray, target: np.ndarray) -> np.ndarray:
@@ -133,7 +186,7 @@ def _integrate_pose(
         rotations.append(rot.copy())
         pos = pos + v * dt
         v = v + np.array([0.0, 0.0, gravity]) * dt
-        rot = rot @ np.asarray(lie.so3_exp(jnp.asarray(w * dt)))
+        rot = rot @ _np_so3_exp(w * dt)
         if half_extents is not None:
             supp = _support_height(rot, half_extents)
             if pos[2] < supp:
@@ -147,6 +200,48 @@ def _integrate_pose(
     return np.stack(positions), np.stack(rotations)
 
 
+def _style_params(style: str, rng: np.random.Generator) -> dict:
+    """Per-video appearance draw: materials, lighting, background textures.
+
+    "train" and "holdout" ranges are DISJOINT on every axis (shininess,
+    specular, shadow strength, sun elevation, palette, stripes) so a model
+    trained on train-style videos has never seen a holdout-style appearance
+    — evaluating on holdout measures domain-randomization transfer."""
+    if style == "train":
+        p = dict(
+            shininess=float(rng.uniform(8.0, 64.0)),
+            spec_strength=float(rng.uniform(0.0, 0.45)),
+            shadow_strength=float(rng.uniform(0.3, 0.7)),
+            light_elevation=float(rng.uniform(np.deg2rad(35), np.deg2rad(75))),
+            light_intensity=float(rng.uniform(0.85, 1.15)),
+            stripes=0.0,
+            material_gain=float(rng.uniform(0.7, 1.1)),
+        )
+        p["sky_colors"] = rng.uniform(0.1, 0.9, size=(2, 3))
+        p["ground_colors"] = rng.uniform(0.1, 0.9, size=(2, 3))
+    elif style == "holdout":
+        p = dict(
+            shininess=float(rng.uniform(90.0, 160.0)),
+            spec_strength=float(rng.uniform(0.45, 0.7)),
+            shadow_strength=float(rng.uniform(0.72, 0.9)),
+            light_elevation=float(rng.uniform(np.deg2rad(15), np.deg2rad(33))),
+            light_intensity=float(rng.uniform(1.05, 1.3)),
+            stripes=0.7,
+            material_gain=float(rng.uniform(0.5, 0.68)),
+        )
+        # high-contrast dark/light palettes never drawn at train time
+        p["sky_colors"] = np.stack([rng.uniform(0.0, 0.08, 3), rng.uniform(0.92, 1.0, 3)])
+        p["ground_colors"] = np.stack([rng.uniform(0.0, 0.08, 3), rng.uniform(0.92, 1.0, 3)])
+    else:
+        raise ValueError(f"unknown style {style!r}")
+    az = rng.uniform(0.0, 2 * np.pi)
+    el = p.pop("light_elevation")
+    p["light_dir"] = np.array(
+        [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], dtype=np.float32
+    )
+    return p
+
+
 def _simulate(cfg: VideoConfig, rng: np.random.Generator):
     t, dt = cfg.frames, 1.0 / cfg.fps
 
@@ -156,7 +251,7 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
     cube_pos0 = np.array(
         [rng.uniform(lo, hi), rng.uniform(lo, hi), rng.uniform(*cfg.cube_spawn_height)]
     )
-    cube_rot0 = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(size=3))))
+    cube_rot0 = _np_so3_exp(rng.normal(size=3))
     cube_vel = rng.uniform(-cfg.max_linear_velocity, cfg.max_linear_velocity, 3)
     cube_ang = rng.uniform(-cfg.max_angular_velocity, cfg.max_angular_velocity, 3)
     cube_pos, cube_rot = _integrate_pose(
@@ -167,19 +262,22 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
     # distractors: static on the floor + dynamic tossed
     n_static = int(rng.integers(cfg.n_static_range[0], cfg.n_static_range[1] + 1))
     n_dynamic = int(rng.integers(cfg.n_dynamic_range[0], cfg.n_dynamic_range[1] + 1))
+    shape_families = ("box", "wedge", "pyramid")  # non-box GSO-distractor role
     half_extents = [np.full(3, abs_scale)]
+    verts_local = [render.shape_vertices(half_extents[0], "box")]  # cube IS a box
     positions, rotations = [cube_pos], [cube_rot]
     for _ in range(n_static):
         he = rng.uniform(*cfg.distractor_scale_range, size=3)
         pos = np.array([rng.uniform(-4, 4), rng.uniform(-4, 4), he[2]])
-        rot = np.asarray(lie.so3_exp(jnp.asarray([0.0, 0.0, rng.uniform(0, np.pi)])))
+        rot = _np_so3_exp(np.array([0.0, 0.0, rng.uniform(0, np.pi)]))
         half_extents.append(he)
+        verts_local.append(render.shape_vertices(he, shape_families[int(rng.integers(3))]))
         positions.append(np.tile(pos, (t, 1)))
         rotations.append(np.tile(rot, (t, 1, 1)))
     for _ in range(n_dynamic):
         he = rng.uniform(*cfg.distractor_scale_range, size=3)
         pos0 = np.array([rng.uniform(lo, hi), rng.uniform(lo, hi), rng.uniform(1.0, 3.0)])
-        rot0 = np.asarray(lie.so3_exp(jnp.asarray(rng.normal(size=3))))
+        rot0 = _np_so3_exp(rng.normal(size=3))
         vel = rng.uniform(-cfg.max_linear_velocity, cfg.max_linear_velocity, 3)
         ang = rng.uniform(-cfg.max_angular_velocity, cfg.max_angular_velocity, 3)
         p, r = _integrate_pose(
@@ -187,6 +285,7 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
             half_extents=he if cfg.ground_contact else None,
         )
         half_extents.append(he)
+        verts_local.append(render.shape_vertices(he, shape_families[int(rng.integers(3))]))
         positions.append(p)
         rotations.append(r)
 
@@ -196,9 +295,9 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
     # learnable — modulated per video like the reference's randomized
     # Principled-BSDF material (generate_one_video.py:281-295). Distractors
     # get random independent face colors.
+    style = _style_params(cfg.style, rng)
     colors = rng.uniform(0.15, 0.95, size=(len(half_extents), 6, 3))
-    material_gain = rng.uniform(0.7, 1.1)
-    colors[0] = np.clip(CUBE_FACE_PALETTE * material_gain, 0.05, 1.0)
+    colors[0] = np.clip(CUBE_FACE_PALETTE * style["material_gain"], 0.05, 1.0)
 
     # camera: on a shell around the scene, looking at the cube spawn region
     target = np.array([0.0, 0.0, 1.0])
@@ -220,13 +319,28 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
 
     return {
         "half_extents": np.stack(half_extents),
+        "verts_local": np.stack(verts_local),  # (O, 8, 3)
         "positions": np.stack(positions, axis=1),  # (T, O, 3)
         "rotations": np.stack(rotations, axis=1),  # (T, O, 3, 3)
         "colors": colors,
         "abs_scale": abs_scale,
         "cam_pos": cam_pos,
         "cam_rot": cam_rot,
+        "style": style,
     }
+
+
+# single shared compiled renderer: height/width/ground/checker shape the
+# trace (python control flow) and are constant per run; material scalars and
+# textures are dynamic so per-video draws never recompile
+_render_jit = jax.jit(
+    render.render_frames,
+    static_argnames=("fov", "height", "width", "far", "checker", "ground", "ground_tex_scale"),
+)
+# textures jitted too: eager per-op dispatch would cost a round-trip per op
+# on a remote-attached backend (the renderer can run on the TPU while the
+# sim stays in numpy on the host)
+_fbm_jit = jax.jit(render.fbm_texture, static_argnames=("size", "octaves", "stripes"))
 
 
 def generate_one_video(cfg: VideoConfig, job_id: str | None = None) -> str:
@@ -241,24 +355,64 @@ def generate_one_video(cfg: VideoConfig, job_id: str | None = None) -> str:
         scene = _simulate(cfg, rng)
         t = cfg.frames
 
-        cam_quat_wxyz = np.stack(
-            [np.asarray(lie.rot_to_quat_wxyz(jnp.asarray(r))) for r in scene["cam_rot"]]
-        )
+        cam_quat_wxyz = np.stack([_np_rot_to_quat_wxyz(r) for r in scene["cam_rot"]])
         cam_pose7 = jnp.asarray(
             np.concatenate([scene["cam_pos"], cam_quat_wxyz], axis=-1), dtype=jnp.float32
         )
 
-        rgb, depth, seg = render.render_frames(
-            jax.random.key(rng.integers(0, 2**31)),
-            jnp.asarray(scene["rotations"], dtype=jnp.float32),
-            jnp.asarray(scene["positions"], dtype=jnp.float32),
-            jnp.asarray(scene["half_extents"], dtype=jnp.float32),
-            jnp.asarray(scene["colors"], dtype=jnp.float32),
-            jnp.ones((scene["half_extents"].shape[0],), dtype=jnp.float32),
+        # pad the object axis to cfg.max_objects (active=0 rows) so every
+        # video hits the same compiled renderer — variable object counts
+        # otherwise force a fresh XLA compile per distinct count
+        n_obj = scene["half_extents"].shape[0]
+        n_pad = max(cfg.max_objects, n_obj)
+        pad = n_pad - n_obj
+        rotations = np.concatenate(
+            [scene["rotations"], np.tile(np.eye(3, dtype=np.float32), (t, pad, 1, 1))], axis=1
+        )
+        positions = np.concatenate(
+            [scene["positions"], np.full((t, pad, 3), -100.0, np.float32)], axis=1
+        )
+        half_extents = np.concatenate(
+            [scene["half_extents"], np.full((pad, 3), 0.1, np.float32)]
+        )
+        verts_local = np.concatenate(
+            [scene["verts_local"], np.tile(render.shape_vertices(np.full(3, 0.1), "box"), (pad, 1, 1))]
+        )
+        colors = np.concatenate([scene["colors"], np.full((pad, 6, 3), 0.5, np.float32)])
+        active = np.concatenate([np.ones(n_obj, np.float32), np.zeros(pad, np.float32)])
+
+        style = scene["style"]
+        k_render, k_sky, k_ground = jax.random.split(
+            jax.random.key(rng.integers(0, 2**31)), 3
+        )
+        sky_tex = _fbm_jit(
+            k_sky, 128, jnp.asarray(style["sky_colors"], jnp.float32),
+            octaves=3, stripes=style["stripes"],
+        )
+        ground_tex = _fbm_jit(
+            k_ground, 128, jnp.asarray(style["ground_colors"], jnp.float32),
+            octaves=3, stripes=style["stripes"],
+        )
+        rgb, depth, seg = _render_jit(
+            k_render,
+            jnp.asarray(rotations, dtype=jnp.float32),
+            jnp.asarray(positions, dtype=jnp.float32),
+            jnp.asarray(half_extents, dtype=jnp.float32),
+            jnp.asarray(colors, dtype=jnp.float32),
+            jnp.asarray(active),
             cam_pose7,
             cfg.fov,
             cfg.resolution,
             cfg.resolution,
+            light_dir=jnp.asarray(style["light_dir"]),
+            verts_local=jnp.asarray(verts_local, dtype=jnp.float32),
+            spec_strength=jnp.float32(style["spec_strength"]),
+            shininess=jnp.float32(style["shininess"]),
+            light_intensity=jnp.float32(style["light_intensity"]),
+            ground=True,
+            shadow_strength=jnp.float32(style["shadow_strength"]),
+            sky_texture=sky_tex,
+            ground_texture=ground_tex,
         )
         rgb, depth, seg = np.asarray(rgb), np.asarray(depth), np.asarray(seg)
 
@@ -272,10 +426,7 @@ def generate_one_video(cfg: VideoConfig, job_id: str | None = None) -> str:
         instances = []
         for o in range(scene["half_extents"].shape[0]):
             quats = np.stack(
-                [
-                    np.asarray(lie.rot_to_quat_wxyz(jnp.asarray(scene["rotations"][i, o])))
-                    for i in range(t)
-                ]
+                [_np_rot_to_quat_wxyz(scene["rotations"][i, o]) for i in range(t)]
             )
             instances.append(
                 {

@@ -31,7 +31,14 @@ import numpy as np
 
 from perseus_tpu import camera, lie
 
-__all__ = ["BOX_FACES", "box_vertices", "value_noise", "render_frames"]
+__all__ = [
+    "BOX_FACES",
+    "box_vertices",
+    "shape_vertices",
+    "value_noise",
+    "fbm_texture",
+    "render_frames",
+]
 
 # Triangles over the 8 corners in cube_corners() ordering: index bit layout
 # 4*(x>0) + 2*(y>0) + (z>0). Two triangles per face.
@@ -72,6 +79,27 @@ def box_vertices(half_extents: jnp.ndarray) -> jnp.ndarray:
     return half_extents[..., None, :] * jnp.asarray(_CORNER_SIGNS)
 
 
+# Distractor shape families beyond the box (the non-box mesh role of the
+# reference's GSO asset distractors, generate_one_video.py:229-245): each is
+# an 8-vertex deformation of the box so the 12-triangle topology is shared —
+# collapsed faces become degenerate triangles the rasterizer culls by area.
+# Vertex order follows _CORNER_SIGNS: index bit layout 4*(x>0)+2*(y>0)+(z>0),
+# so odd indices (1,3,5,7) are the +z (top) corners.
+def shape_vertices(half_extents: jnp.ndarray, shape: str) -> np.ndarray:
+    """(3,) half extents -> (8, 3) vertices for 'box' | 'wedge' | 'pyramid'."""
+    v = np.asarray(_CORNER_SIGNS) * np.asarray(half_extents)[None, :]
+    if shape == "box":
+        return v
+    if shape == "wedge":  # triangular prism: top corners pinch to a y=0 ridge
+        v[[1, 3, 5, 7], 1] = 0.0
+        return v
+    if shape == "pyramid":  # top face collapses to the apex point
+        v[[1, 3, 5, 7], 0] = 0.0
+        v[[1, 3, 5, 7], 1] = 0.0
+        return v
+    raise ValueError(f"unknown shape {shape!r}")
+
+
 def value_noise(key: jax.Array, h: int, w: int, cells: int = 8) -> jnp.ndarray:
     """Smooth [0, 1] noise: bilinear upsample of a random coarse grid."""
     grid = jax.random.uniform(key, (cells + 1, cells + 1))
@@ -88,10 +116,77 @@ def value_noise(key: jax.Array, h: int, w: int, cells: int = 8) -> jnp.ndarray:
     return (1 - fy) * ((1 - fx) * g00 + fx * g01) + fy * ((1 - fx) * g10 + fx * g11)
 
 
-def _shade(normals_world: jnp.ndarray, base_color: jnp.ndarray, light_dir: jnp.ndarray):
-    """Two-sided Lambert: (F, 3) normals, (F, 3) per-tri albedo -> colors."""
+def fbm_texture(
+    key: jax.Array,
+    size: int,
+    colors: jnp.ndarray,  # (2, 3) palette endpoints lerped by the noise field
+    octaves: int = 3,
+    stripes: float = 0.0,
+) -> jnp.ndarray:
+    """Procedural (size, size, 3) image texture: multi-octave value noise
+    (fBm) mapped through a two-color palette, optionally modulated by random
+    diagonal stripes. These per-video textures play the role of the
+    reference's HDRI dome backgrounds / image textures
+    (generate_one_video.py:229-245) — rendered scenes sample them as real
+    images (dome + ground), not as flat tints."""
+    keys = jax.random.split(key, octaves + 2)
+    field = jnp.zeros((size, size))
+    amp, total = 1.0, 0.0
+    for i in range(octaves):
+        field = field + amp * value_noise(keys[i], size, size, cells=4 * (2**i))
+        total += amp
+        amp *= 0.5
+    field = field / total
+    if stripes > 0.0:
+        ang = jax.random.uniform(keys[-2], (), minval=0.0, maxval=np.pi)
+        freq = jax.random.uniform(keys[-1], (), minval=4.0, maxval=12.0)
+        xs = jnp.linspace(0.0, 1.0, size)
+        phase = jnp.cos(ang) * xs[None, :] + jnp.sin(ang) * xs[:, None]
+        field = field * (1.0 - stripes / 2 + stripes / 2 * jnp.sin(2 * np.pi * freq * phase))
+    field = jnp.clip(field, 0.0, 1.0)
+    return colors[0] * (1.0 - field[..., None]) + colors[1] * field[..., None]
+
+
+def _sample_tile(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear wrap-sample of a (S, S, 3) tile at texture coords u, v (any
+    real scale; 1.0 spans the tile)."""
+    s = tex.shape[0]
+    x = (u % 1.0) * (s - 1)
+    y = (v % 1.0) * (s - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, s - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, s - 2)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    t00 = tex[y0, x0]
+    t01 = tex[y0, x0 + 1]
+    t10 = tex[y0 + 1, x0]
+    t11 = tex[y0 + 1, x0 + 1]
+    return (1 - fy) * ((1 - fx) * t00 + fx * t01) + fy * ((1 - fx) * t10 + fx * t11)
+
+
+def _shade(
+    normals_world: jnp.ndarray,
+    base_color: jnp.ndarray,
+    light_dir: jnp.ndarray,
+    view_dir: jnp.ndarray | None = None,
+    spec_strength: jnp.ndarray | float = 0.0,
+    shininess: jnp.ndarray | float = 32.0,
+    light_intensity: jnp.ndarray | float = 1.0,
+):
+    """Two-sided Blinn-Phong: (F, 3) normals, (F, 3) per-tri albedo.
+
+    `view_dir` (F, 3) unit vectors from surface toward the camera enable the
+    specular term; `spec_strength`/`shininess` are the per-video material
+    randomization (the Principled-BSDF roughness/specular role, reference:
+    generate_one_video.py:281-295 — low shininess ~ high roughness)."""
     lam = jnp.abs(normals_world @ light_dir)
-    return jnp.clip(base_color * (0.35 + 0.65 * lam[:, None]), 0.0, 1.0)
+    out = base_color * light_intensity * (0.35 + 0.65 * lam[:, None])
+    if view_dir is not None:
+        half = light_dir[None, :] + view_dir
+        half = half / (jnp.linalg.norm(half, axis=-1, keepdims=True) + 1e-9)
+        spec = jnp.abs(jnp.sum(normals_world * half, axis=-1)) ** shininess
+        out = out + spec_strength * light_intensity * spec[:, None]
+    return jnp.clip(out, 0.0, 1.0)
 
 
 def render_frames(
@@ -108,8 +203,17 @@ def render_frames(
     light_dir: jnp.ndarray | None = None,
     far: float = 20.0,
     checker: float = 0.3,
+    verts_local: jnp.ndarray | None = None,
+    spec_strength: jnp.ndarray | float = 0.0,
+    shininess: jnp.ndarray | float = 32.0,
+    light_intensity: jnp.ndarray | float = 1.0,
+    ground: bool = False,
+    shadow_strength: jnp.ndarray | float = 0.0,
+    sky_texture: jnp.ndarray | None = None,
+    ground_texture: jnp.ndarray | None = None,
+    ground_tex_scale: float = 4.0,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Renders T frames of O boxes.
+    """Renders T frames of O convex 8-vertex solids (boxes by default).
 
     Returns (rgb (T, H, W, 3) in [0, 1], depth (T, H, W) camera-frame z,
     seg (T, H, W) int32 with instance index + 1, background 0). Object index
@@ -122,8 +226,19 @@ def render_frames(
     well-posed, which the reference gets from the mjc asset's six face
     textures (reference: data_generation/assets/mjc.mtl, six map_Kd entries).
     ``checker`` additionally modulates each face with a perspective-correct
-    2x2 checkerboard of the given amplitude (0 disables), the procedural
-    stand-in for image textures.
+    2x2 checkerboard of the given amplitude (0 disables).
+
+    Fidelity features (each playing a reference Cycles-render role,
+    generate_one_video.py:229-317):
+      * ``verts_local`` (O, 8, 3) overrides the box corners so distractors
+        can be wedges/pyramids (shape_vertices) — the non-box GSO-mesh role;
+      * ``spec_strength``/``shininess`` add a Blinn-Phong specular term —
+        the randomized Principled-BSDF material role;
+      * ``ground=True`` ray-casts a textured z=0 ground plane with correct
+        depth and directional cast shadows (``shadow_strength``) from every
+        active object;
+      * ``sky_texture``/``ground_texture`` are per-video image tiles
+        (fbm_texture) sampled as a dome + floor — the HDRI background role.
     """
     t, o = obj_rot.shape[:2]
     dtype = obj_trans.dtype
@@ -134,13 +249,16 @@ def render_frames(
     light_dir = light_dir / jnp.linalg.norm(light_dir)
 
     k = camera.intrinsics_from_fov(jnp.asarray(fov, dtype=dtype), height, width)
+    fx, fy, cx, cy = k.fx, k.fy, k.cx, k.cy
     faces = jnp.asarray(BOX_FACES)
+    if verts_local is None:
+        verts_local = box_vertices(half_extents)  # (O, 8, 3)
 
-    # background: smooth colored noise; depth = far plane with mild noise
+    # static fallback background (no textures): smooth colored noise
     kb, kc, kd = jax.random.split(key, 3)
     bg_tint = jax.random.uniform(kc, (3,), minval=0.2, maxval=0.8)
     noise = value_noise(kb, height, width)
-    bg_rgb = jnp.clip(bg_tint[None, None, :] * (0.5 + 0.7 * noise[..., None]), 0.0, 1.0)
+    flat_bg_rgb = jnp.clip(bg_tint[None, None, :] * (0.5 + 0.7 * noise[..., None]), 0.0, 1.0)
     bg_depth = far * (0.9 + 0.2 * value_noise(kd, height, width))
 
     cam = lie.pose7_wxyz_to_se3(cam_pose7_wxyz)  # (T,) batched SE3
@@ -149,11 +267,64 @@ def render_frames(
     ys = jnp.arange(height, dtype=dtype)
     xs = jnp.arange(width, dtype=dtype)
     px = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)  # (H, W, 2) (u, v)
+    # unnormalized camera-frame ray directions with z=1, so the ray
+    # parameter IS the camera z-depth
+    dirs_cam = jnp.stack(
+        [(px[..., 0] - cx) / fx, (px[..., 1] - cy) / fy, jnp.ones((height, width), dtype)],
+        axis=-1,
+    )  # (H, W, 3)
+
+    def background(cam_rot, cam_trans, rot_f, trans_f):
+        """Per-frame ray-cast background: textured sky dome + z=0 ground
+        plane with cast shadows. Returns (rgb, depth)."""
+        d_world = jnp.einsum("ij,hwj->hwi", cam_rot, dirs_cam)
+        dz = d_world[..., 2]
+        t_g = -cam_trans[2] / jnp.where(dz < -1e-6, dz, -1e-6)
+        hits_ground = (dz < -1e-6) & (t_g > 0.0) & (t_g < far)
+
+        # sky: sample the dome texture by ray azimuth/elevation
+        d_norm = d_world / (jnp.linalg.norm(d_world, axis=-1, keepdims=True) + 1e-9)
+        az = jnp.arctan2(d_norm[..., 1], d_norm[..., 0]) / (2 * np.pi) + 0.5
+        el = 0.5 - jnp.arcsin(jnp.clip(d_norm[..., 2], -1.0, 1.0)) / np.pi
+        if sky_texture is not None:
+            sky_rgb = _sample_tile(sky_texture, az * 2.0, el * 2.0)
+        else:
+            sky_rgb = flat_bg_rgb
+
+        # ground: texture by world xy, Lambert from the +z normal
+        p = cam_trans[None, None, :] + t_g[..., None] * d_world  # (H, W, 3)
+        if ground_texture is not None:
+            g_tex = _sample_tile(
+                ground_texture, p[..., 0] / ground_tex_scale, p[..., 1] / ground_tex_scale
+            )
+        else:
+            g_tex = flat_bg_rgb
+        g_rgb = g_tex * light_intensity * (0.45 + 0.55 * jnp.abs(light_dir[2]))
+
+        # cast shadows: march from each ground point toward the light and
+        # slab-test every active object's bounding box
+        def occludes(rot_o, trans_o, he_o, act_o):
+            q = jnp.einsum("ji,hwj->hwi", rot_o, p - trans_o)  # local point
+            d = rot_o.T @ light_dir
+            inv = 1.0 / jnp.where(jnp.abs(d) > 1e-6, d, jnp.where(d >= 0, 1e-6, -1e-6))
+            t1 = (-he_o - q) * inv[None, None, :]
+            t2 = (he_o - q) * inv[None, None, :]
+            tmin = jnp.max(jnp.minimum(t1, t2), axis=-1)
+            tmax = jnp.min(jnp.maximum(t1, t2), axis=-1)
+            return (tmax >= jnp.maximum(tmin, 1e-3)) & (act_o > 0.5)
+
+        shadowed = jnp.any(
+            jax.vmap(occludes)(rot_f, trans_f, half_extents, active), axis=0
+        )
+        g_rgb = g_rgb * (1.0 - shadow_strength * shadowed[..., None])
+
+        rgb = jnp.where(hits_ground[..., None], g_rgb, sky_rgb)
+        depth = jnp.where(hits_ground, t_g, bg_depth)
+        return jnp.clip(rgb, 0.0, 1.0), depth
 
     def render_one(frame):
         rot_f, trans_f, cam_rot, cam_trans = frame  # (O,3,3) (O,3) (3,3) (3,)
 
-        verts_local = box_vertices(half_extents)  # (O, 8, 3)
         verts_world = (
             jnp.einsum("oij,ovj->ovi", rot_f, verts_local) + trans_f[:, None, :]
         )
@@ -167,7 +338,14 @@ def render_frames(
         n = jnp.cross(tri_w[..., 1, :] - tri_w[..., 0, :], tri_w[..., 2, :] - tri_w[..., 0, :])
         n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-9)
         tri_albedo = colors[:, jnp.asarray(_TRI_FACE)]  # (O, 12, 3)
-        face_colors = jax.vmap(_shade, in_axes=(0, 0, None))(n, tri_albedo, light_dir)
+        centroid = jnp.mean(tri_w, axis=-2)  # (O, 12, 3)
+        view = cam_trans[None, None, :] - centroid
+        view = view / (jnp.linalg.norm(view, axis=-1, keepdims=True) + 1e-9)
+        face_colors = jax.vmap(
+            lambda nn, aa, vv: _shade(
+                nn, aa, light_dir, vv, spec_strength, shininess, light_intensity
+            )
+        )(n, tri_albedo, view)
 
         def raster_object(buffers, obj):
             zbuf, cbuf, sbuf = buffers
@@ -234,7 +412,11 @@ def render_frames(
             sbuf = jnp.where(win, o_idx + 1, sbuf)
             return (zbuf, cbuf, sbuf), None
 
-        init = (bg_depth, bg_rgb, jnp.zeros((height, width), dtype=jnp.int32))
+        if ground or sky_texture is not None:
+            frame_bg_rgb, frame_bg_depth = background(cam_rot, cam_trans, rot_f, trans_f)
+        else:
+            frame_bg_rgb, frame_bg_depth = flat_bg_rgb, bg_depth
+        init = (frame_bg_depth, frame_bg_rgb, jnp.zeros((height, width), dtype=jnp.int32))
         (zbuf, cbuf, sbuf), _ = jax.lax.scan(
             raster_object,
             init,
