@@ -53,6 +53,13 @@ class StreamingConfig:
     smooth: bool = True
     smoother: SmootherConfig = field(default_factory=lambda: SmootherConfig(window=24))
     camera_fov: float = 1.0  # rad; used to build intrinsics for the smoother
+    # Simulation-replay support (eval/pose_eval.py): rendered depth is
+    # already in cube units (the sim's unit convention), so skip the
+    # metric -> cube-unit division a real camera needs; and the smoother's
+    # cube-corner geometry scale can differ from cube_scale (a sim cube of
+    # abs_scale units vs the 0.035 m real cube).
+    depth_in_cube_units: bool = False
+    corner_scale: float = 0.0  # 0 -> use cube_scale
 
 
 class StreamingPipeline:
@@ -72,14 +79,18 @@ class StreamingPipeline:
             from perseus_tpu.camera import intrinsics_from_fov
 
             intr = intrinsics_from_fov(jnp.asarray(cfg.camera_fov), cfg.model_h, cfg.model_w)
+            corner_scale = cfg.corner_scale or cfg.cube_scale
             self.smoother = FixedLagSmoother(
-                cfg.smoother, intr, cube_corners(cfg.cube_scale).astype(jnp.float32)
+                cfg.smoother, intr, cube_corners(corner_scale).astype(jnp.float32)
             )
 
         self._step = jax.jit(self._build_step())
 
-    def init_carry(self) -> SmootherCarry | None:
-        return self.smoother.init() if self.smoother is not None else None
+    def init_carry(self, initial_pose: SE3 | None = None) -> SmootherCarry | None:
+        """Fresh smoother carry; pass `initial_pose` (e.g. from
+        FixedLagSmoother.coarse_pose_from_keypoints on the first detection)
+        to cold-start near the true pose."""
+        return self.smoother.init(initial_pose) if self.smoother is not None else None
 
     def _build_step(self):
         cfg = self.cfg
@@ -92,7 +103,8 @@ class StreamingPipeline:
             if cfg.num_channels >= 4:
                 depth = frame[..., 3]
                 depth = jnp.where(jnp.isfinite(depth), depth, 0.0)
-                depth = depth / cfg.cube_scale
+                if not cfg.depth_in_cube_units:  # metric camera depth
+                    depth = depth / cfg.cube_scale
                 if cfg.apply_depth_clamp:
                     depth = depth_plane_clamp(depth, cube_scale=cfg.cube_scale)
                 frame = jnp.concatenate([rgb, depth[..., None]], axis=-1)

@@ -80,6 +80,30 @@ class FixedLagSmoother:
             frames_seen=jnp.asarray(0, dtype=jnp.int32),
         )
 
+    def coarse_pose_from_keypoints(self, keypoints_px: jnp.ndarray) -> SE3:
+        """Closed-form cold-start pose guess from one frame of detections:
+        weak-perspective depth from the pixel span of the known corner
+        geometry (z ~ f * span3d / span_px) and translation by backprojecting
+        the detection centroid; identity rotation. Good enough to put the
+        first LM solve in the convergence basin (the role a PnP init plays
+        in a classical pipeline) — the smoother refines from there."""
+        kp = keypoints_px.astype(self.dtype)
+        d_px = jnp.linalg.norm(kp[:, None, :] - kp[None, :, :], axis=-1)
+        span_px = jnp.maximum(jnp.max(d_px), 1.0)
+        p = self.points_body
+        span_3d = jnp.max(jnp.linalg.norm(p[:, None, :] - p[None, :, :], axis=-1))
+        f = 0.5 * (self.intrinsics.fx + self.intrinsics.fy)
+        z0 = jnp.clip(f * span_3d / span_px, 0.1, 1e4)
+        center = jnp.mean(kp, axis=0)
+        t0 = jnp.stack(
+            [
+                (center[0] - self.intrinsics.cx) / self.intrinsics.fx * z0,
+                (center[1] - self.intrinsics.cy) / self.intrinsics.fy * z0,
+                z0,
+            ]
+        )
+        return SE3(jnp.eye(3, dtype=self.dtype), t0.astype(self.dtype))
+
     def update(
         self, carry: SmootherCarry, keypoints_px: jnp.ndarray
     ) -> tuple[SmootherCarry, SE3]:
