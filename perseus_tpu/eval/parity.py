@@ -50,6 +50,16 @@ class ParityConfig:
     grad_clip_norm: float = 1.0
     seed: int = 0
     output_json: str = ""  # optional path for the result artifact
+    # Train both models on the SAME augmented tensors: each batch runs once
+    # through the JAX train-mode augmentation pipeline (affine warp with
+    # keypoint transform, erasing, color/depth ops, transplantation) and the
+    # identical augmented images/targets feed both optimizers — parity of
+    # the full recipe WITH augmentation in the loop, not just op-level
+    # golden tests (reference: augmentations.py:441-488 + train.py:283).
+    # (Kornia is not installable in this environment, so the torch model
+    # cannot run its own aug stack; identical-tensor training is the
+    # strongest available recipe-level claim.)
+    augmented: bool = False
 
 
 def _assemble(batch: dict, in_channels: int) -> np.ndarray:
@@ -93,6 +103,23 @@ def run_parity(cfg: ParityConfig) -> dict:
     y_train = _normalize_coords(c_train, h, w)
     y_val = _normalize_coords(c_val, h, w)
 
+    aug_jit = None
+    if cfg.augmented:
+        from perseus_tpu.augment.pipeline import AugmentationConfig, KeypointAugmentation
+
+        aug_pipeline = KeypointAugmentation(AugmentationConfig(), train=True, fused=False)
+        aug_jit = jax.jit(lambda k, x, c: aug_pipeline(k, x, c))
+        batch_all = train_ds.batch(np.arange(len(train_ds)))
+        x_train5 = np.concatenate(
+            [
+                batch_all["image"],
+                batch_all["depth_image"][..., None],
+                batch_all["segmentation_image"][..., None],
+            ],
+            axis=-1,
+            dtype=np.float32,
+        )
+
     # ---- identical initialization --------------------------------------
     torch_model = TorchKeypointCNN(n_keypoints=cfg.n_keypoints, num_channels=cfg.in_channels)
     sd0 = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
@@ -132,7 +159,19 @@ def run_parity(cfg: ParityConfig) -> dict:
         order = rng.permutation(n)
         for s in range(n // cfg.batch_size):
             idx = order[s * cfg.batch_size : (s + 1) * cfg.batch_size]
-            xb, yb = x_train[idx], y_train[idx]
+            if aug_jit is not None:
+                # one augmentation draw feeds BOTH models identically
+                key = jax.random.fold_in(jax.random.key(cfg.seed), epoch * 100_000 + s)
+                imgs5, crd = aug_jit(
+                    key, jnp.asarray(x_train5[idx]), jnp.asarray(c_train[idx])
+                )
+                # f32 explicitly: under jax_enable_x64 (the test oracles'
+                # config) default-dtype aug ops widen to f64, which the
+                # torch model rejects
+                xb = np.asarray(imgs5, dtype=np.float32)[..., : cfg.in_channels]
+                yb = np.asarray(crd, dtype=np.float32).reshape(len(idx), -1)
+            else:
+                xb, yb = x_train[idx], y_train[idx]
 
             xb_t = torch.from_numpy(np.transpose(xb, (0, 3, 1, 2)))
             torch_opt.zero_grad()
@@ -191,6 +230,7 @@ def run_parity(cfg: ParityConfig) -> dict:
         "rmse_ratio": rmse_j / max(rmse_t, 1e-9),
         "roundtrip_logits_max_abs_diff": roundtrip_max_abs,
         "final_losses": history[-1],
+        "augmented": cfg.augmented,
         "epochs": cfg.epochs,
         "n_train": int(n),
         "n_val": int(len(x_val)),
