@@ -65,10 +65,37 @@ def _time_salted(prepare, execute, reps: int = 3, warmups: int = 2) -> float:
     return min(times)
 
 
+def _load_bench_weights(n_keypoints: int = 8, num_channels: int = 4):
+    """The committed at-scale checkpoint when present — so the headline
+    throughput is produced by a model that actually detects — with a
+    random-init fallback (throughput itself is weight-independent)."""
+    import os
+
+    from perseus_tpu.models import resnet
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "outputs", "models", "scale_run", "final"
+    )
+    if os.path.exists(path):
+        try:
+            from perseus_tpu.train import checkpoint as ckpt
+
+            params, stats = ckpt.load_model(path)
+            params = jax.tree.map(jnp.asarray, params)
+            stats = jax.tree.map(jnp.asarray, stats)
+            print(f"[bench] weights: {path}", file=sys.stderr)
+            return params, stats
+        except Exception as exc:
+            print(f"[bench] checkpoint load failed ({exc}); using random init", file=sys.stderr)
+    else:
+        print("[bench] weights: random init (no scale_run checkpoint)", file=sys.stderr)
+    return resnet.init_keypoint_cnn(jax.random.key(0), n_keypoints, num_channels)
+
+
 def bench_detector() -> float:
     from perseus_tpu.models import resnet
 
-    params, stats = resnet.init_keypoint_cnn(jax.random.key(0), n_keypoints=8, num_channels=4)
+    params, stats = _load_bench_weights()
     folded = resnet.fold_batchnorm(params, stats)
     batch = 256
     images = jnp.asarray(
@@ -168,11 +195,10 @@ def bench_streaming() -> float:
     """End-to-end per-frame latency of the fused streaming step (preprocess
     -> detector -> denormalize -> smoother), chained on device — the
     BASELINE north-star 'one jitted XLA program' loop."""
-    from perseus_tpu.models import resnet
     from perseus_tpu.runtime.streaming import StreamingConfig, StreamingPipeline
     from perseus_tpu.smoother.lm import SmootherConfig
 
-    params, stats = resnet.init_keypoint_cnn(jax.random.key(0), 8, 4)
+    params, stats = _load_bench_weights()
     cfg = StreamingConfig(
         num_channels=4, model_h=256, model_w=256, amp=True, smooth=True,
         smoother=SmootherConfig(window=24, max_iterations=4, accept_reject=False),
@@ -270,13 +296,19 @@ def read_scale_run_metrics() -> dict:
     try:
         with open(path) as f:
             m = json.load(f)
-        return {
-            "val_rmse_px": m.get("val_rmse_px"),
-            "val_median_corner_err_px": m.get("val_median_corner_err_px"),
-            "val_loss": m.get("val_loss"),
-            "scale_run_epochs": m.get("epochs"),
-            "scale_run_train_frames": m.get("n_train"),
-        }
+        keys = [
+            "val_rmse_px",
+            "val_median_corner_err_px",
+            "val_p90_corner_err_px",
+            "holdout_style_rmse_px",
+            "pose_rmse_mm",
+            "pose_rmse_deg",
+            "val_loss",
+        ]
+        out = {k: m[k] for k in keys if m.get(k) is not None}
+        out["scale_run_epochs"] = m.get("epochs")
+        out["scale_run_train_frames"] = m.get("n_train")
+        return out
     except Exception as exc:
         print(f"[bench] scale-run metrics unreadable: {exc}", file=sys.stderr)
         return {}

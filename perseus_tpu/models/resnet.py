@@ -160,9 +160,15 @@ def _batchnorm(
         # form re-reads x after computing the mean — a second full HBM
         # traversal per BN, forward and backward). f32 accumulation keeps
         # the cancellation error ~1e-7 relative for post-conv activations.
-        xf = x.astype(acc_dtype)
-        mean = jnp.mean(xf, axis=(0, 1, 2))
-        var = jnp.maximum(jnp.mean(xf * xf, axis=(0, 1, 2)) - mean * mean, 0.0)
+        # Centering on the (free) running mean first bounds the E[y^2]-E[y]^2
+        # cancellation: y = x - rm has E[y] ~ 0 during steady training, so
+        # mean^2/var stays O(1) even for high-mean low-variance channels.
+        # Variance is shift-invariant; the subtract fuses into the same pass.
+        rm = stats[f"{prefix}.running_mean"].astype(acc_dtype)
+        yf = x.astype(acc_dtype) - rm
+        mean_y = jnp.mean(yf, axis=(0, 1, 2))
+        var = jnp.maximum(jnp.mean(yf * yf, axis=(0, 1, 2)) - mean_y * mean_y, 0.0)
+        mean = mean_y + rm
         if new_stats is not None:
             n = x.shape[0] * x.shape[1] * x.shape[2]
             unbiased = var * (n / max(n - 1, 1))

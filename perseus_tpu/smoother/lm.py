@@ -21,7 +21,10 @@ Factors over a window of T frames:
   * keypoint projection residuals: K corners x 2 per frame, masked by
     per-frame measurement validity.
 
-Jacobians: the default ("block") solver assembles the normal equations
+Jacobians — two solvers (SmootherConfig.solver; "jacfwd" is the default):
+"jacfwd" evaluates a batched-JVP Jacobian of the whole residual stack (288
+tangent columns as one wide batch — fastest on TPU, and what production
+configs run). The opt-in "block" solver assembles the normal equations
 directly from the analytic per-factor Jacobians in residuals.py — the
 Jacobian is block-tridiagonal in frames (dynamics/const-vel couple only
 neighbors; priors/keypoints/pins are per-frame), so J^T J and J^T r build

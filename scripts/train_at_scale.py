@@ -44,6 +44,19 @@ class ScaleRunConfig:
     # bf16 halves the in-HBM dataset (see TrainConfig.device_data_dtype);
     # needed beyond ~7k frames on a 16 GB chip
     data_dtype: str = "bfloat16"
+    # Datasets beyond HBM: keep a rotating subset of this many rows
+    # device-resident, re-drawn every refresh epochs (0 = whole split).
+    device_data_rows: int = 0
+    device_data_refresh_epochs: int = 0
+    use_example_weights: bool = False
+    resume: str = ""  # orbax dir to continue from
+    # Held-out STYLE videos (datagen style="holdout": disjoint material /
+    # lighting / background ranges): RMSE there measures whether the domain
+    # randomization transfers to unseen appearance.
+    holdout_job_dir: str = ""
+    # Rendered trajectory for the closed-loop pose-tracking metric
+    # (eval/pose_eval.py); empty = skip.
+    pose_eval_job: str = ""
 
 
 def prepare_dataset(cfg: ScaleRunConfig) -> str:
@@ -68,9 +81,11 @@ def prepare_dataset(cfg: ScaleRunConfig) -> str:
     return pruned
 
 
-def val_rmse_px(state, cfg_train, mesh, dd_val) -> float:
-    """Pixel keypoint RMSE over the device-resident val split (the metric of
-    reference validate.py:161-174), computed without re-uploading images."""
+def val_rmse_px(state, cfg_train, mesh, dd_val) -> dict:
+    """Pixel keypoint error stats over the device-resident val split (the
+    metric of reference validate.py:161-174), computed without re-uploading
+    images. Returns {val_rmse_px, val_median_corner_err_px,
+    val_p90_corner_err_px}."""
     v_imgs, v_crds, _, v_valid, v_n_local = dd_val
     n_dev = len(mesh.devices.reshape(-1))
     local_bs = max(1, cfg_train.batch_size // n_dev)
@@ -108,7 +123,8 @@ def val_rmse_px(state, cfg_train, mesh, dd_val) -> float:
 
     valid2d = v_valid.reshape(n_dev, v_n_local)
     total, count = 0.0, 0.0
-    corner_errs = []
+    corner_errs, row_ids = [], []
+    n_real = int(v_valid.sum())
     for s in range(-(-v_n_local // local_bs)):
         length = min(local_bs, v_n_local - s * local_bs)
         idx2 = np.zeros((n_dev, local_bs), np.int32)
@@ -124,13 +140,59 @@ def val_rmse_px(state, cfg_train, mesh, dd_val) -> float:
         )
         total += float(t)
         count += float(c)
-        corner_errs.append(np.asarray(errs)[np.asarray(mask2.reshape(-1)) > 0])
-    errs = np.concatenate(corner_errs)
+        keep = np.asarray(mask2.reshape(-1)) > 0
+        corner_errs.append(np.asarray(errs)[keep])
+        # device d, local row i -> padded row d*n_local+i -> dataset row % n
+        global_rows = (
+            np.arange(n_dev)[:, None] * v_n_local + idx2
+        ).reshape(-1)[keep] % n_real
+        row_ids.append(global_rows)
+    errs = np.concatenate(corner_errs)  # (N, K) per-corner pixel errors
+    rows = np.concatenate(row_ids)
+    per_example = np.sqrt(np.mean(errs**2, axis=-1))
     return {
         "val_rmse_px": float(np.sqrt(total / max(count, 1.0))),
         "val_median_corner_err_px": float(np.median(errs)),
         "val_p90_corner_err_px": float(np.percentile(errs, 90)),
+        "_per_example_rmse": per_example,
+        "_per_example_rows": rows,
     }
+
+
+def failure_breakdown(dataset, rmse_stats, h: int, w: int) -> dict:
+    """Buckets per-example RMSE by the scene factors that plausibly drive
+    the error tail: segmentation ratio (cube apparent size / occlusion) and
+    whether all GT corners project inside the frame. The analysis artifact
+    round-2's verdict asked for (directive 2)."""
+    per = rmse_stats["_per_example_rmse"]
+    rows = rmse_stats["_per_example_rows"]
+    seg = np.asarray(dataset.split.segmentation_ratios)[rows]
+    coords = np.asarray(dataset.pixel_coordinates)[rows]  # (N, K, 2)
+    in_frame = (
+        (coords[..., 0] >= 0)
+        & (coords[..., 0] <= w - 1)
+        & (coords[..., 1] >= 0)
+        & (coords[..., 1] <= h - 1)
+    ).all(axis=-1)
+
+    out = {}
+    edges = [0.02, 0.05, 0.1, 0.2, 0.4, 0.7]
+    for lo, hi in zip(edges[:-1], edges[1:]):
+        m = (seg >= lo) & (seg < hi)
+        if m.any():
+            out[f"seg_{lo:g}_{hi:g}"] = {
+                "n": int(m.sum()),
+                "rmse_px": float(np.sqrt(np.mean(per[m] ** 2))),
+                "median_px": float(np.median(per[m])),
+            }
+    for name, m in (("corners_in_frame", in_frame), ("corners_out_of_frame", ~in_frame)):
+        if m.any():
+            out[name] = {
+                "n": int(m.sum()),
+                "rmse_px": float(np.sqrt(np.mean(per[m] ** 2))),
+                "median_px": float(np.median(per[m])),
+            }
+    return out
 
 
 def main() -> None:
@@ -150,8 +212,16 @@ def main() -> None:
         dataset_config=KeypointDatasetConfig(dataset_path=pruned),
         data_on_device=True,
         device_data_dtype=cfg.data_dtype,
-        save_epochs=max(1, cfg.epochs // 4),
+        device_data_rows=cfg.device_data_rows,
+        device_data_refresh_epochs=cfg.device_data_refresh_epochs,
+        use_example_weights=cfg.use_example_weights,
+        resume=cfg.resume,
+        save_epochs=max(1, cfg.epochs // 8),
         wandb_project="",
+        # decoded host cache (f32): ~45 GB for a 35k-frame split — fits this
+        # host's RAM and makes the periodic device-subset refreshes
+        # (device_data_refresh_epochs) RAM-speed instead of re-decoding PNGs
+        cache_dataset=cfg.device_data_rows > 0,
     )
     t0 = time.time()
     result = tm.train(tcfg)
@@ -163,6 +233,10 @@ def main() -> None:
     train_ds = PrunedKeypointDataset(tcfg.dataset_config, train=True, cache=False)
     dd_val = tm._device_dataset(val_ds, tcfg, mesh, use_transplant=False)
     rmse_stats = val_rmse_px(state, tcfg, mesh, dd_val)
+    breakdown = failure_breakdown(val_ds, rmse_stats, val_ds.H, val_ds.W)
+    rmse_stats = {k: v for k, v in rmse_stats.items() if not k.startswith("_")}
+    for a in dd_val[:3]:
+        a.delete()  # free HBM before the holdout upload
 
     os.makedirs(cfg.output_dir, exist_ok=True)
     from perseus_tpu.train import checkpoint as ckpt
@@ -186,7 +260,45 @@ def main() -> None:
         "n_val": len(val_ds),
         "train_wall_s": round(train_s, 1),
         "image_hw": [train_ds.H, train_ds.W],
+        "failure_breakdown": breakdown,
     }
+
+    if cfg.holdout_job_dir and os.path.isdir(cfg.holdout_job_dir):
+        # unseen-STYLE generalization: label/merge/prune the holdout-style
+        # jobs into their own root and score the trained model there
+        ho_cfg = dataclasses.replace(
+            cfg,
+            job_dir=cfg.holdout_job_dir,
+            data_root=os.path.join(cfg.data_root, "holdout"),
+            train_frac=0.05,  # evaluate on ~all holdout frames (the test split)
+        )
+        ho_pruned = prepare_dataset(ho_cfg)
+        ho_tcfg = dataclasses.replace(
+            tcfg, dataset_config=KeypointDatasetConfig(dataset_path=ho_pruned)
+        )
+        ho_ds = PrunedKeypointDataset(ho_tcfg.dataset_config, train=False, cache=False)
+        dd_ho = tm._device_dataset(ho_ds, ho_tcfg, mesh, use_transplant=False)
+        ho_stats = val_rmse_px(state, ho_tcfg, mesh, dd_ho)
+        for a in dd_ho[:3]:
+            a.delete()
+        metrics["holdout_style_rmse_px"] = ho_stats["val_rmse_px"]
+        metrics["holdout_style_median_corner_err_px"] = ho_stats["val_median_corner_err_px"]
+        metrics["holdout_style_n_frames"] = len(ho_ds)
+
+    if cfg.pose_eval_job and os.path.isdir(cfg.pose_eval_job):
+        from perseus_tpu.eval.pose_eval import evaluate_pose_tracking
+
+        pose = evaluate_pose_tracking(
+            cfg.pose_eval_job,
+            params=state.params,
+            batch_stats=state.batch_stats,
+            window=12,
+        )
+        metrics["pose_rmse_mm"] = pose["pose_rmse_mm"]
+        metrics["pose_rmse_deg"] = pose["pose_rmse_deg"]
+        metrics["pose_median_mm"] = pose["pose_median_mm"]
+        metrics["pose_median_deg"] = pose["pose_median_deg"]
+
     with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
     print(json.dumps(metrics), flush=True)
