@@ -783,8 +783,8 @@ def train(cfg: TrainConfig) -> dict:
                 count += float(n_)
             last_val_loss = loss_sum / count if count else float("nan")
             if run is not None:
-                run.log({"val_loss": last_val_loss})
-                print(f"[epoch {epoch}] val loss {last_val_loss:.5f}")
+                run.log({"val_loss": last_val_loss, "lr": scheduler.lr})
+                print(f"[epoch {epoch}] val loss {last_val_loss:.5f} (lr {scheduler.lr:.2e})")
             new_lr = scheduler.step(last_val_loss)
             state = state._replace(opt_state=set_learning_rate(state.opt_state, new_lr))
         elif epoch % cfg.val_epochs == 0:
@@ -806,8 +806,8 @@ def train(cfg: TrainConfig) -> dict:
                 count += float(n)
             last_val_loss = loss_sum / count if count else float("nan")
             if run is not None:
-                run.log({"val_loss": last_val_loss})
-                print(f"[epoch {epoch}] val loss {last_val_loss:.5f}")
+                run.log({"val_loss": last_val_loss, "lr": scheduler.lr})
+                print(f"[epoch {epoch}] val loss {last_val_loss:.5f} (lr {scheduler.lr:.2e})")
             new_lr = scheduler.step(last_val_loss)
             state = state._replace(opt_state=set_learning_rate(state.opt_state, new_lr))
 

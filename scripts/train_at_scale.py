@@ -49,6 +49,13 @@ class ScaleRunConfig:
     device_data_rows: int = 0
     device_data_refresh_epochs: int = 0
     use_example_weights: bool = False
+    # LR plateau schedule. The round-3 renderer's harder domain needs many
+    # more epochs at the base LR before corner identity locks in: the default
+    # patience-5/0.25x schedule decays to the floor while the model is still
+    # in the predict-the-centroid basin (observed: 191 epochs stuck at val
+    # 0.055 vs 0.013 by epoch 24 with LR held). Patient + gentle is robust.
+    plateau_patience: int = 20
+    plateau_factor: float = 0.5
     resume: str = ""  # orbax dir to continue from
     # Held-out STYLE videos (datagen style="holdout": disjoint material /
     # lighting / background ranges): RMSE there measures whether the domain
@@ -215,6 +222,8 @@ def main() -> None:
         device_data_rows=cfg.device_data_rows,
         device_data_refresh_epochs=cfg.device_data_refresh_epochs,
         use_example_weights=cfg.use_example_weights,
+        plateau_patience=cfg.plateau_patience,
+        plateau_factor=cfg.plateau_factor,
         resume=cfg.resume,
         save_epochs=max(1, cfg.epochs // 8),
         wandb_project="",
