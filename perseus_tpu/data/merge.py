@@ -68,8 +68,20 @@ def _copy_trajectories(
             traj_names.append(f"{traj_rel}/{name}")
         filenames.append(traj_names)
     with ThreadPoolExecutor(max_workers=workers) as pool:
-        list(pool.map(lambda job: shutil.copy2(*job), jobs))
+        list(pool.map(lambda job: _link_or_copy(*job), jobs))
     return filenames
+
+
+def _link_or_copy(src: str, dst: str) -> None:
+    """Hard-link when source and destination share a filesystem (the images
+    are immutable renders, and a full copy of a 2,500-video dataset is tens
+    of GB); falls back to a real copy across filesystems."""
+    if os.path.exists(dst):
+        os.remove(dst)
+    try:
+        os.link(src, dst)
+    except OSError:
+        shutil.copy2(src, dst)
 
 
 def _segmentation_ratios(

@@ -89,8 +89,10 @@ def prune_dataset(
                         new_idx += 1
                     flat_idx += 1
 
+            from perseus_tpu.data.merge import _link_or_copy
+
             with ThreadPoolExecutor(max_workers=workers) as pool:
-                list(pool.map(lambda job: shutil.copy2(*job), copy_jobs))
+                list(pool.map(lambda job: _link_or_copy(*job), copy_jobs))
 
             splits[split] = schema.PrunedSplit(
                 image_filenames=kept["image_filenames"],

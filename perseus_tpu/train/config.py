@@ -106,6 +106,13 @@ class TrainConfig:
     device_data_rows: int = 0
     device_data_refresh_epochs: int = 0
 
+    # Run each device-resident epoch as ONE jitted lax.scan over its steps
+    # (single dispatch + single loss readback per epoch) instead of one
+    # dispatch per step. Identical math and PRNG stream; disabled
+    # automatically when profile_dir is set (the profiler wants per-step
+    # dispatch boundaries).
+    device_data_epoch_scan: bool = True
+
     # LR plateau schedule (reference: train.py:200).
     plateau_patience: int = 5
     plateau_factor: float = 0.25
@@ -139,3 +146,12 @@ class TrainConfig:
     # (data/merge_hdf5.py:175-190 — a known dead feature); enabling this
     # actually applies them as per-example multipliers on the SmoothL1 loss.
     use_example_weights: bool = False
+    # Cap on the mean-normalized example weight. The inverse-bin-frequency
+    # weights are unbounded (a singleton seg-ratio bin gets weight 1.0 vs a
+    # ~5e-4 median — ~600x the batch mean after normalization), and training
+    # with them uncapped collapses the detector to predicting the keypoint
+    # centroid: the handful of extreme-occlusion frames that land in rare
+    # bins dominate every batch they appear in (measured round 3: val loss
+    # stuck at 0.057 weighted vs 0.007 unweighted, same data/LR). A 10x cap
+    # keeps the mild rebalancing without letting outliers run the gradient.
+    example_weight_clip: float = 10.0

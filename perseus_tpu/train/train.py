@@ -184,6 +184,10 @@ def make_train_step(
             # scale — and thus the LR recipe — matches the unweighted path)
             per_example = jnp.mean(optax.huber_loss(pred, target, delta=1.0), axis=-1)
             wnorm = weights / jnp.maximum(jnp.mean(weights), 1e-12)
+            # cap outlier weights (see TrainConfig.example_weight_clip), then
+            # restore E[w]=1 so the loss scale matches the unweighted recipe
+            wnorm = jnp.minimum(wnorm, cfg.example_weight_clip)
+            wnorm = wnorm / jnp.maximum(jnp.mean(wnorm), 1e-12)
             return jnp.mean(per_example * wnorm), new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
@@ -246,6 +250,43 @@ def make_device_data_train_step(
         return base_step(state, imgs, crds, key, *w)
 
     return step
+
+
+def make_device_data_epoch_fn(
+    cfg: TrainConfig,
+    optimizer: optax.GradientTransformation,
+    train_augment: KeypointAugmentation,
+    mesh=None,
+):
+    """Whole-epoch `lax.scan` over the device-resident dataset.
+
+    On a remote-attached chip every dispatch is a host round-trip; even
+    locally, per-step Python dispatch costs ~0.1-1 ms. Scanning all of an
+    epoch's steps inside ONE jitted call amortizes that to a single
+    dispatch: the (steps, B) index tensor is uploaded once and the PRNG key
+    for step ``s`` is folded in-graph as ``fold_in(run_key, base_step + s)``
+    — the same key stream and data order as the per-step path. (XLA fuses
+    the scan body differently than the standalone step, so floats agree to
+    reduction-order rounding, ~1e-6 relative, not bitwise; resume stays
+    bit-identical because a resumed run re-enters the same compiled scan.)
+    Returns per-step losses as one (steps,) array (one readback per epoch).
+    """
+    dd_step = make_device_data_train_step(cfg, optimizer, train_augment, mesh=mesh)
+
+    def epoch_fn(state, ds_images, ds_coords, idx_epoch, run_key, base_step, *maybe_w):
+        steps = idx_epoch.shape[0]
+
+        def body(carry, xs):
+            st = carry
+            idx, s = xs
+            key = jax.random.fold_in(run_key, base_step + s)
+            st, loss = dd_step(st, ds_images, ds_coords, idx, key, *maybe_w)
+            return st, loss
+
+        state, losses = jax.lax.scan(body, state, (idx_epoch, jnp.arange(steps)))
+        return state, losses
+
+    return epoch_fn
 
 
 def make_device_data_eval_step(cfg: TrainConfig, val_augment: KeypointAugmentation, mesh=None):
@@ -565,6 +606,14 @@ def train(cfg: TrainConfig) -> dict:
             in_shardings=(replicated, data_sharded, data_sharded, data_sharded, data_sharded),
             out_shardings=(replicated, replicated),
         )
+        idx_epoch_sharded = NamedSharding(mesh, P(None, "data"))
+        dd_epoch_fn = jax.jit(
+            make_device_data_epoch_fn(cfg, optimizer, train_augment, mesh=mesh),
+            in_shardings=(replicated, data_sharded, data_sharded, idx_epoch_sharded, None, None)
+            + ((data_sharded,) if cfg.use_example_weights else ()),
+            out_shardings=(replicated, replicated),
+            donate_argnums=(0,),
+        )
 
     scheduler = PlateauScheduler(
         cfg.learning_rate, cfg.plateau_patience, cfg.plateau_factor, cfg.min_learning_rate
@@ -695,31 +744,61 @@ def train(cfg: TrainConfig) -> dict:
                     for d in range(n_dev)
                 ]
             )
-            for s in range(steps_per_epoch):
-                maybe_profile(None)
-                idx = np.ascontiguousarray(
-                    perms[:, s * local_bs : (s + 1) * local_bs]
-                ).reshape(-1).astype(np.int32)
-                idx_dev = put_global(idx, data_sharded)
-                key = jax.random.fold_in(run_key, global_step)
-                step_args = (state, d_imgs, d_crds, idx_dev, key) + (
-                    (d_w,) if cfg.use_example_weights else ()
-                )
-                state, loss = dd_train_step(*step_args)
+            if cfg.device_data_epoch_scan and not cfg.profile_dir:
+                # one dispatch for the whole epoch: (steps, B) index tensor,
+                # keys folded in-graph (bit-identical to the per-step fold)
+                idx_ep = np.stack(
+                    [
+                        np.ascontiguousarray(
+                            perms[:, s * local_bs : (s + 1) * local_bs]
+                        ).reshape(-1)
+                        for s in range(steps_per_epoch)
+                    ]
+                ).astype(np.int32)
+                ep_args = (
+                    state,
+                    d_imgs,
+                    d_crds,
+                    put_global(idx_ep, idx_epoch_sharded),
+                    run_key,
+                    np.int32(global_step),
+                ) + ((d_w,) if cfg.use_example_weights else ())
+                state, losses = dd_epoch_fn(*ep_args)
                 if run is not None:
-                    loss_val = float(loss)
-                    run.log({"loss": loss_val})
-                    epoch_losses.append(loss_val)
+                    for loss_val in np.asarray(losses).tolist():
+                        run.log({"loss": loss_val})
+                        epoch_losses.append(loss_val)
                 else:
-                    # no logger attached: keep the loss as a device scalar —
-                    # a float() here would force a host sync every step (a
-                    # full round-trip on remote-attached chips) and
-                    # serialize the step pipeline
-                    epoch_losses.append(loss)
-                n_images += cfg.batch_size
-                global_step += 1
-                steps_this_run += 1
-                maybe_profile(loss)
+                    epoch_losses.append(jnp.mean(losses))
+                n_images += cfg.batch_size * steps_per_epoch
+                global_step += steps_per_epoch
+                steps_this_run += steps_per_epoch
+            else:
+                for s in range(steps_per_epoch):
+                    maybe_profile(None)
+                    idx = np.ascontiguousarray(
+                        perms[:, s * local_bs : (s + 1) * local_bs]
+                    ).reshape(-1).astype(np.int32)
+                    idx_dev = put_global(idx, data_sharded)
+                    key = jax.random.fold_in(run_key, global_step)
+                    step_args = (state, d_imgs, d_crds, idx_dev, key) + (
+                        (d_w,) if cfg.use_example_weights else ()
+                    )
+                    state, loss = dd_train_step(*step_args)
+                    if run is not None:
+                        loss_val = float(loss)
+                        run.log({"loss": loss_val})
+                        epoch_losses.append(loss_val)
+                    else:
+                        # no logger attached: keep the loss as a device
+                        # scalar — a float() here would force a host sync
+                        # every step (a full round-trip on remote-attached
+                        # chips) and serialize the step pipeline
+                        epoch_losses.append(loss)
+                    n_images += cfg.batch_size
+                    global_step += 1
+                    steps_this_run += 1
+                    maybe_profile(loss)
         else:
             for batch in train_loader.epoch(epoch):
                 maybe_profile(None)

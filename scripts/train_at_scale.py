@@ -56,6 +56,11 @@ class ScaleRunConfig:
     # 0.055 vs 0.013 by epoch 24 with LR held). Patient + gentle is robust.
     plateau_patience: int = 20
     plateau_factor: float = 0.5
+    # Keep the decoded-f32 split in host RAM so device-subset refreshes are
+    # RAM-speed. ~1 MB/frame: fine to ~40k frames on this 125 GB host, but a
+    # full 50k+-frame split plus h5py buffers crowds RAM — default off; the
+    # C++ decoder refills a 9.5k-row subset in ~2 min.
+    host_cache: bool = False
     resume: str = ""  # orbax dir to continue from
     # Held-out STYLE videos (datagen style="holdout": disjoint material /
     # lighting / background ranges): RMSE there measures whether the domain
@@ -76,7 +81,15 @@ def prepare_dataset(cfg: ScaleRunConfig) -> str:
         return pruned
     t0 = time.time()
     raw = label_dataset(
-        LabelConfig(job_dir=cfg.job_dir, frames=cfg.frames, train_frac=cfg.train_frac)
+        LabelConfig(
+            job_dir=cfg.job_dir,
+            frames=cfg.frames,
+            train_frac=cfg.train_frac,
+            # labels only: merge/prune/training all read pixels from the
+            # rendered files; embedding them would rewrite ~30 GB into the
+            # raw HDF5 for nothing at this scale
+            lazy_images=True,
+        )
     )
     print(f"[scale] labeled -> {raw} ({time.time() - t0:.0f}s)", flush=True)
     merged = merge([raw], os.path.join(cfg.data_root, "merged"), new_train_frac=cfg.train_frac)
@@ -227,10 +240,7 @@ def main() -> None:
         resume=cfg.resume,
         save_epochs=max(1, cfg.epochs // 8),
         wandb_project="",
-        # decoded host cache (f32): ~45 GB for a 35k-frame split — fits this
-        # host's RAM and makes the periodic device-subset refreshes
-        # (device_data_refresh_epochs) RAM-speed instead of re-decoding PNGs
-        cache_dataset=cfg.device_data_rows > 0,
+        cache_dataset=cfg.host_cache,
     )
     t0 = time.time()
     result = tm.train(tcfg)
