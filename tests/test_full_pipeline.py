@@ -33,8 +33,12 @@ def test_generate_label_merge_prune_train_validate(tmp_path):
     for i in range(3):
         generate_one_video(vcfg, job_id=f"{i:08x}")
 
-    # 2. label -> raw per-batch HDF5
-    raw = label_dataset(LabelConfig(job_dir=str(job_dir), frames=4, train_frac=0.67))
+    # 2. label -> raw per-batch HDF5 (lazy: the at-scale production path —
+    # labels + filenames only; embedded-image labeling is covered by
+    # tests/test_labeler.py)
+    raw = label_dataset(
+        LabelConfig(job_dir=str(job_dir), frames=4, train_frac=0.67, lazy_images=True)
+    )
     assert os.path.exists(raw)
 
     # 3. merge (writes merged.hdf5 + image tree + seg ratios + weights)
