@@ -12,11 +12,12 @@ TPU-first differences from the torch DataLoader design:
     (:class:`PrefetchingLoader`) replaces torch's worker processes — decoded
     batches stage into contiguous pinned-style numpy buffers and overlap
     with device compute;
-  * optional in-RAM decoded cache (``cache=True``): at 256x256 the whole
-    2,500-video reference dataset is ~13 GB of float32 RGB, so hosts with
-    RAM can skip per-epoch decode entirely — this is the path that keeps a
-    TPU chip fed at training batch sizes (the reference's known bottleneck,
-    SURVEY.md section 7 "host data path").
+  * optional in-RAM compact cache (``cache=True``): RGB as uint8,
+    segmentation as bool, depth as f32 (~0.46 MB/row at 256x256 — the whole
+    2,500-video reference-scale dataset caches in ~23 GB, vs ~65 GB decoded
+    f32), materialized to the exact decoded f32 rows on access. This is the
+    path that keeps a TPU chip fed at training batch sizes (the reference's
+    known bottleneck, SURVEY.md section 7 "host data path").
 """
 
 from __future__ import annotations
@@ -74,15 +75,32 @@ class PrunedKeypointDataset:
 
             self._native = native_io.available()
 
-        self._cache: list[dict] | None = None
-        if cache:
-            if self._native and len(self):
-                batch = self.batch(np.arange(len(self)))
-                self._cache = [
-                    {k: batch[k][i] for k in batch} for i in range(len(self))
-                ]
-            else:
-                self._cache = [self._load(i) for i in range(len(self))]
+        # Compact columnar cache: RGB as uint8 (u8 -> f32/255 is the exact
+        # decode conversion, so materialized rows are bit-identical to a
+        # fresh decode), segmentation as bool, depth as f32. ~0.46 MB/row
+        # at 256x256 instead of ~1.3 MB decoded — a 50k-row split caches in
+        # ~23 GB instead of ~65 GB. Filled chunkwise so the peak never holds
+        # a second full-split f32 copy.
+        self._cache: dict | None = None
+        if cache and len(self):
+            n, h, w = len(self), self.H, self.W
+            cc = {
+                "image_u8": np.empty((n, h, w, 3), np.uint8),
+                "depth_image": np.empty((n, h, w), np.float32),
+                "seg_b": np.empty((n, h, w), np.bool_),
+            }
+            step = 2048
+            for s in range(0, n, step):
+                idx = np.arange(s, min(s + step, n))
+                if self._native:
+                    b = self.batch(idx)
+                else:
+                    items = [self._load(int(i)) for i in idx]
+                    b = {k: np.stack([it[k] for it in items]) for k in items[0]}
+                cc["image_u8"][s : s + step] = np.round(b["image"] * 255.0).astype(np.uint8)
+                cc["depth_image"][s : s + step] = b["depth_image"]
+                cc["seg_b"][s : s + step] = b["segmentation_image"] > 0.5
+            self._cache = cc
 
     def __len__(self) -> int:
         return len(self.split)
@@ -110,9 +128,23 @@ class PrunedKeypointDataset:
             "weight": np.float32(self.weights[idx]),
         }
 
+    def _materialize(self, idx) -> dict:
+        """Rows from the compact cache, restored to the decoded layout.
+        `idx` may be an int or an index array (vectorized gather)."""
+        cc = self._cache
+        return {
+            "image": cc["image_u8"][idx].astype(np.float32) / 255.0,
+            "depth_image": cc["depth_image"][idx],
+            "segmentation_image": cc["seg_b"][idx].astype(np.float32),
+            "pixel_coordinates": self.pixel_coordinates[idx],
+            "weight": np.float32(self.weights[idx])
+            if np.isscalar(idx) or np.ndim(idx) == 0
+            else np.asarray(self.weights[idx], np.float32),
+        }
+
     def __getitem__(self, idx: int) -> dict:
         if self._cache is not None:
-            return self._cache[idx]
+            return self._materialize(int(idx))
         return self._load(idx)
 
     def batch(self, indices: np.ndarray) -> dict:
@@ -120,7 +152,9 @@ class PrunedKeypointDataset:
 
         With the native decoder, the whole batch decodes in one GIL-free
         C++ thread-pool call straight into the output buffers."""
-        if self._cache is None and self._native:
+        if self._cache is not None:
+            return self._materialize(np.asarray(indices, dtype=np.int64))
+        if self._native:
             from perseus_tpu.native import io as native_io
 
             idx = [int(i) for i in indices]
