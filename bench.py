@@ -27,14 +27,17 @@ blocking single-call latency for reference.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 DETECTOR_TARGET_FPS = 10_000.0
+
+import jax  # noqa: E402  (backend init is lazy; importing is cheap and safe)
+import jax.numpy as jnp  # noqa: E402
 
 
 def _force(out) -> None:
@@ -314,37 +317,149 @@ def read_scale_run_metrics() -> dict:
         return {}
 
 
-def main() -> None:
-    fps = bench_detector()
-    try:
-        p50, p50_default = bench_smoother()
-    except Exception as exc:  # keep the headline metric robust
-        print(f"[bench] smoother bench failed: {exc}", file=sys.stderr)
-        p50 = p50_default = float("nan")
-    try:
-        stream_ms = bench_streaming()
-    except Exception as exc:
-        print(f"[bench] streaming bench failed: {exc}", file=sys.stderr)
-        stream_ms = float("nan")
-    try:
-        train_ips = bench_train_step()
-    except Exception as exc:
-        print(f"[bench] train bench failed: {exc}", file=sys.stderr)
-        train_ips = float("nan")
+# ---------------------------------------------------------------------------
+# Phase harness.
+#
+# Round-3 post-mortem: the TPU backend failed to initialize, bench_detector()
+# hung inside a device call, and the driver eventually killed the whole
+# process (rc=124) — no JSON line, no perf record for the round. A wedged
+# device call blocks in C and cannot be interrupted by signal.alarm or a
+# timer thread, so the only watchdog that actually works is a SUBPROCESS per
+# phase with a hard kill. main() therefore:
+#   * runs every phase via `python bench.py --phase NAME` under
+#     subprocess.run(timeout=...), retrying once (the axon relay restarts
+#     mid-run sometimes — see the round-2/3 measurement notes above),
+#   * treats timeout/crash/garbage output as "phase = null" and keeps going,
+#   * ALWAYS prints the one-line JSON, even if every phase died.
+# The remote compile cache is fingerprint-keyed, so per-phase subprocesses
+# re-pay backend init (~seconds) but not compilation.
+# ---------------------------------------------------------------------------
 
+PHASE_BUDGET_S = {
+    # Cold remote compiles can take minutes; warm repeats are fast.
+    "detector": 900.0,
+    "smoother": 600.0,
+    "streaming": 600.0,
+    "train": 900.0,
+}
+
+
+def _run_phase_inline(name: str) -> dict:
+    """Executes one phase in-process and returns its result fields."""
+    if os.environ.get("PERSEUS_BENCH_FORCE_FAIL") in ("all", name):
+        raise RuntimeError(f"forced failure (PERSEUS_BENCH_FORCE_FAIL) in phase {name}")
+    if name == "detector":
+        return {"fps": bench_detector()}
+    if name == "smoother":
+        p50, p50_default = bench_smoother()
+        return {"p50": p50, "p50_default": p50_default}
+    if name == "streaming":
+        return {"ms": bench_streaming()}
+    if name == "train":
+        return {"ips": bench_train_step()}
+    raise ValueError(f"unknown phase {name!r}")
+
+
+def _run_phase_subprocess(
+    name: str, attempts: int = 2, deadline: float | None = None
+) -> dict | None:
+    """Runs one phase in a watchdogged subprocess; returns its fields or None.
+
+    ``deadline`` (perf_counter timestamp) caps every attempt: a phase never
+    starts with <60 s left and never runs past it — the driver's own outer
+    timeout must see the final JSON line, so bench.py has to finish first.
+    """
+    for attempt in range(attempts):
+        budget = PHASE_BUDGET_S[name]
+        if deadline is not None:
+            remaining = deadline - time.perf_counter()
+            if remaining < 60.0:
+                print(f"[bench] phase {name}: skipped (global deadline, "
+                      f"{remaining:.0f}s left)", file=sys.stderr, flush=True)
+                return None
+            budget = min(budget, remaining)
+        t0 = time.perf_counter()
+        print(f"[bench] phase {name}: attempt {attempt + 1}/{attempts} "
+              f"(budget {budget:.0f}s)", file=sys.stderr, flush=True)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--phase", name],
+                stdout=subprocess.PIPE,
+                stderr=sys.stderr,
+                timeout=budget,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"[bench] phase {name}: KILLED after {budget:.0f}s watchdog",
+                  file=sys.stderr, flush=True)
+            continue
+        dt = time.perf_counter() - t0
+        if proc.returncode != 0:
+            print(f"[bench] phase {name}: rc={proc.returncode} after {dt:.1f}s",
+                  file=sys.stderr, flush=True)
+            continue
+        # The phase prints its result as the LAST stdout line.
+        for line in reversed(proc.stdout.decode(errors="replace").splitlines()):
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    out = json.loads(line)
+                    print(f"[bench] phase {name}: ok in {dt:.1f}s -> {out}",
+                          file=sys.stderr, flush=True)
+                    return out
+                except json.JSONDecodeError:
+                    break
+        print(f"[bench] phase {name}: no parseable result line", file=sys.stderr, flush=True)
+    return None
+
+
+def _rnd(value, digits):
+    return round(value, digits) if value is not None and np.isfinite(value) else None
+
+
+def _assemble_result(results: dict) -> dict:
+    det = results.get("detector") or {}
+    smo = results.get("smoother") or {}
+    stm = results.get("streaming") or {}
+    trn = results.get("train") or {}
+    fps = det.get("fps")
     result = {
         "metric": "detector_inference_fps_per_chip_256x256_rgbd",
-        "value": round(fps, 1),
+        "value": _rnd(fps, 1),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / DETECTOR_TARGET_FPS, 4),
-        "smoother_p50_ms": round(p50, 3) if np.isfinite(p50) else None,
-        "smoother_default_p50_ms": round(p50_default, 3) if np.isfinite(p50_default) else None,
-        "streaming_ms_per_frame": round(stream_ms, 3) if np.isfinite(stream_ms) else None,
-        "train_images_per_sec": round(train_ips, 1) if np.isfinite(train_ips) else None,
+        "vs_baseline": _rnd(fps / DETECTOR_TARGET_FPS if fps else None, 4),
+        "smoother_p50_ms": _rnd(smo.get("p50"), 3),
+        "smoother_default_p50_ms": _rnd(smo.get("p50_default"), 3),
+        "streaming_ms_per_frame": _rnd(stm.get("ms"), 3),
+        "train_images_per_sec": _rnd(trn.get("ips"), 1),
     }
-    result.update(read_scale_run_metrics())
-    print(json.dumps(result))
+    try:
+        result.update(read_scale_run_metrics())
+    except Exception as exc:
+        print(f"[bench] metrics fold-in failed: {exc}", file=sys.stderr, flush=True)
+    return result
+
+
+def main() -> None:
+    # Global wall-clock budget: the driver runs bench.py under its own
+    # timeout and records only the stdout TAIL on a kill — bench.py must
+    # finish (or at least have printed a cumulative JSON line) before then.
+    global_budget = float(os.environ.get("PERSEUS_BENCH_GLOBAL_BUDGET_S", "2700"))
+    deadline = time.perf_counter() + global_budget
+    results: dict = {}
+    try:
+        for name in ("detector", "smoother", "streaming", "train"):
+            results[name] = _run_phase_subprocess(name, deadline=deadline)
+            # Cumulative emit: if the driver kills us mid-run, the tail still
+            # carries a parseable perf record for the phases that finished.
+            print(json.dumps(_assemble_result(results)), flush=True)
+    except BaseException as exc:  # noqa: BLE001 — the JSON line must survive anything
+        print(f"[bench] harness error: {exc!r}", file=sys.stderr, flush=True)
+    print(json.dumps(_assemble_result(results)), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--phase":
+        fields = _run_phase_inline(sys.argv[2])
+        print(json.dumps(fields), flush=True)
+    else:
+        main()

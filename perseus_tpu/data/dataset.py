@@ -201,6 +201,7 @@ class PrefetchingLoader:
         prefetch: int = 2,
         shard_index: int = 0,
         num_shards: int = 1,
+        sample_weights: np.ndarray | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -210,14 +211,26 @@ class PrefetchingLoader:
         self.prefetch = prefetch
         self.shard_index = shard_index
         self.num_shards = num_shards
+        # Optional per-row sampling weights (train.make_sample_weights):
+        # epochs draw WITH replacement proportional to these instead of a
+        # uniform permutation. Identical on every host (the draw is keyed by
+        # (seed, epoch) only), so multi-host shards stay consistent.
+        self.sample_weights = None
+        if sample_weights is not None and shuffle:
+            w = np.asarray(sample_weights, np.float64)
+            self.sample_weights = w / w.sum()
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
         n = len(self.dataset)
-        if self.shuffle:
+        if self.sample_weights is not None:
+            order = np.random.default_rng((self.seed, epoch)).choice(
+                n, size=n, replace=True, p=self.sample_weights
+            )
+        elif self.shuffle:
             order = np.random.default_rng((self.seed, epoch)).permutation(n)
         else:
             order = np.arange(n)
-        if self.num_shards == 1:
+        if self.num_shards == 1 and not self.drop_last:
             return order
         # Batch-blocked sharding (wrap-padded to whole global batches, like
         # DistributedSampler): global batch b is order[b*gB:(b+1)*gB] and
@@ -225,7 +238,10 @@ class PrefetchingLoader:
         # The global arrays train() assembles from the per-host shards are
         # then identical to what a single process would build from `order` —
         # which is what makes the 2-process-vs-1-process equivalence test
-        # possible (tests/test_distributed.py).
+        # possible (tests/test_distributed.py). The num_shards==1 training
+        # path wrap-pads the SAME way (not drop-last-truncates) so single-
+        # and multi-process runs iterate identical global batches — and the
+        # same step count — for any dataset size, not just divisible ones.
         global_bs = self.batch_size * self.num_shards
         n_pad = -(-n // global_bs) * global_bs
         padded = np.resize(order, n_pad)

@@ -75,7 +75,14 @@ def _copy_trajectories(
 def _link_or_copy(src: str, dst: str) -> None:
     """Hard-link when source and destination share a filesystem (the images
     are immutable renders, and a full copy of a 2,500-video dataset is tens
-    of GB); falls back to a real copy across filesystems."""
+    of GB); falls back to a real copy across filesystems.
+
+    Immutability contract: a hard link shares the source inode, so an
+    in-place overwrite of a source render would silently mutate every merged/
+    pruned dataset linking it. The datagen writers honor this by always
+    writing a NEW inode and os.replace()-ing it over the name
+    (data/schema.py::_atomic_save) — regenerating a job dir re-points names
+    without touching bytes reachable through existing links."""
     if os.path.exists(dst):
         os.remove(dst)
     try:

@@ -109,12 +109,23 @@ def write_pruned_dataset(
 # ----------------------------- image files --------------------------------
 
 
+def _atomic_save(img: "Image.Image", path: str, fmt: str | None = None) -> None:
+    """Write-to-temp + os.replace. Merged/pruned datasets HARD-LINK render
+    files (data/merge.py); an in-place overwrite (same inode truncated by a
+    re-render into an existing job dir) would silently mutate every dataset
+    sharing the link. os.replace points the name at a NEW inode, so existing
+    links keep the old bytes."""
+    tmp = path + ".tmp"
+    img.save(tmp, format=fmt or Image.registered_extensions().get(os.path.splitext(path)[1]))
+    os.replace(tmp, path)
+
+
 def save_rgb_png(path: str, rgb01: np.ndarray) -> None:
     """Saves an (H, W, 3) float [0,1] or uint8 array as PNG."""
     arr = rgb01
     if arr.dtype != np.uint8:
         arr = np.clip(arr * 255.0, 0, 255).astype(np.uint8)
-    Image.fromarray(arr).save(path)
+    _atomic_save(Image.fromarray(arr), path)
 
 
 def load_rgb_png(path: str) -> np.ndarray:
@@ -127,7 +138,7 @@ def load_rgb_png(path: str) -> np.ndarray:
 
 def save_depth_tiff(path: str, depth: np.ndarray) -> None:
     """Saves (H, W) float32 depth as a 32-bit float TIFF."""
-    Image.fromarray(depth.astype(np.float32), mode="F").save(path)
+    _atomic_save(Image.fromarray(depth.astype(np.float32), mode="F"), path)
 
 
 def load_depth_tiff(path: str) -> np.ndarray:
@@ -137,7 +148,7 @@ def load_depth_tiff(path: str) -> np.ndarray:
 
 def save_segmentation_png(path: str, seg: np.ndarray) -> None:
     """Saves (H, W) small-int segmentation indices as 8-bit PNG."""
-    Image.fromarray(seg.astype(np.uint8)).save(path)
+    _atomic_save(Image.fromarray(seg.astype(np.uint8)), path)
 
 
 def load_segmentation_png(path: str) -> np.ndarray:

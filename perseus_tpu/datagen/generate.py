@@ -81,6 +81,9 @@ class VideoConfig:
     # ground-plane contact for tossed bodies (the PyBullet-dynamics role);
     # False reverts to pure ballistics
     ground_contact: bool = True
+    # pairwise object-object contact impulses (bounding-sphere model; see
+    # _simulate_bodies) — tossed distractors can't interpenetrate the cube
+    object_collisions: bool = True
 
     # Domain-randomization style family. "train" draws materials / lighting /
     # background textures from the training ranges; "holdout" draws from
@@ -203,10 +206,13 @@ def _integrate_pose(
 def _style_params(style: str, rng: np.random.Generator) -> dict:
     """Per-video appearance draw: materials, lighting, background textures.
 
-    "train" and "holdout" ranges are DISJOINT on every axis (shininess,
-    specular, shadow strength, sun elevation, palette, stripes) so a model
-    trained on train-style videos has never seen a holdout-style appearance
-    — evaluating on holdout measures domain-randomization transfer."""
+    "train" and "holdout" ranges are DISJOINT on every axis — shininess
+    (8-64 vs 90-160), specular (0-0.45 vs 0.5-0.7), shadow strength (0.3-0.7
+    vs 0.72-0.9), sun elevation (35-75 vs 15-33 deg), light intensity
+    (0.85-1.15 vs 1.25-1.45), material gain (0.7-1.1 vs 0.5-0.68), palette
+    and stripes — so a model trained on train-style videos has never seen a
+    holdout-style appearance; evaluating on holdout measures
+    domain-randomization transfer."""
     if style == "train":
         p = dict(
             shininess=float(rng.uniform(8.0, 64.0)),
@@ -222,10 +228,10 @@ def _style_params(style: str, rng: np.random.Generator) -> dict:
     elif style == "holdout":
         p = dict(
             shininess=float(rng.uniform(90.0, 160.0)),
-            spec_strength=float(rng.uniform(0.45, 0.7)),
+            spec_strength=float(rng.uniform(0.5, 0.7)),
             shadow_strength=float(rng.uniform(0.72, 0.9)),
             light_elevation=float(rng.uniform(np.deg2rad(15), np.deg2rad(33))),
-            light_intensity=float(rng.uniform(1.05, 1.3)),
+            light_intensity=float(rng.uniform(1.25, 1.45)),
             stripes=0.7,
             material_gain=float(rng.uniform(0.5, 0.68)),
         )
@@ -242,6 +248,129 @@ def _style_params(style: str, rng: np.random.Generator) -> dict:
     return p
 
 
+def _simulate_bodies(
+    bodies: list[dict],
+    frames: int,
+    dt: float,
+    gravity: float,
+    restitution: float = 0.35,
+    friction: float = 0.25,
+    substeps: int = 4,
+    ground: bool = True,
+    collisions: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Joint rigid-body integration with ground contact AND pairwise
+    object-object collisions (the PyBullet contact-dynamics role, reference:
+    generate_one_video.py:298-328 — tossed distractors there collide with
+    the settled scene; round-3's independent per-body ballistics let
+    distractors interpenetrate the cube, a label-noise source the reference
+    doesn't have).
+
+    Each body is a dict {pos, rot, vel, ang, he, movable}. Collision model:
+    bounding spheres of radius ``|he|_2`` (the box half-diagonal — spheres
+    disjoint => boxes CANNOT interpenetrate), mass proportional to volume,
+    statics have infinite mass. Contacts resolve by positional projection
+    split by inverse mass plus a restitution impulse along the contact
+    normal and tangential friction damping; momentum is conserved for
+    movable-movable impacts (tested in
+    tests/test_datagen_render.py::test_object_collisions_*).
+
+    Returns (positions (T, O, 3), rotations (T, O, 3, 3)).
+    """
+    o = len(bodies)
+    pos = np.stack([b["pos"].astype(np.float64) for b in bodies])
+    rot = np.stack([b["rot"].astype(np.float64) for b in bodies])
+    vel = np.stack([b["vel"].astype(np.float64) for b in bodies])
+    ang = np.stack([b["ang"].astype(np.float64) for b in bodies])
+    he = np.stack([b["he"].astype(np.float64) for b in bodies])
+    movable = np.array([bool(b["movable"]) for b in bodies])
+    radius = np.linalg.norm(he, axis=-1)
+    inv_mass = np.where(movable, 1.0 / np.prod(he, axis=-1), 0.0)
+
+    positions = np.empty((frames, o, 3))
+    rotations = np.empty((frames, o, 3, 3))
+    h = dt / substeps
+
+    def _project_overlaps() -> bool:
+        """One sweep of positional projection; True if any pair overlapped."""
+        any_overlap = False
+        for i in range(o):
+            for j in range(i + 1, o):
+                if not (movable[i] or movable[j]):
+                    continue
+                d = pos[i] - pos[j]
+                dist = float(np.linalg.norm(d))
+                overlap = radius[i] + radius[j] - dist
+                if overlap <= 0.0 or dist < 1e-9:
+                    continue
+                any_overlap = True
+                n = d / dist
+                w_sum = inv_mass[i] + inv_mass[j]
+                pos[i] += n * (overlap * inv_mass[i] / w_sum)
+                pos[j] -= n * (overlap * inv_mass[j] / w_sum)
+        return any_overlap
+
+    # Resolve spawn overlaps BEFORE frame 0 is recorded (random placement can
+    # drop a tossed body inside another; frame 0 must already be
+    # penetration-free — the reference gets this by settling spawns through
+    # PyBullet before recording). Projection moves movables only.
+    if collisions:
+        for _ in range(32):
+            if not _project_overlaps():
+                break
+            if ground:  # projection must not push a body under the floor
+                for i in range(o):
+                    if movable[i]:
+                        pos[i, 2] = max(pos[i, 2], _support_height(rot[i], he[i]))
+
+    for f in range(frames):
+        positions[f] = pos
+        rotations[f] = rot
+        for _ in range(substeps):
+            # integrate movables
+            for i in range(o):
+                if not movable[i]:
+                    continue
+                pos[i] = pos[i] + vel[i] * h
+                vel[i, 2] += gravity * h
+                rot[i] = rot[i] @ _np_so3_exp(ang[i] * h)
+                supp = _support_height(rot[i], he[i])
+                if ground and pos[i, 2] < supp:
+                    pos[i, 2] = supp
+                    if vel[i, 2] < 0.0:
+                        vel[i, 2] = -restitution * vel[i, 2]
+                        if vel[i, 2] < 0.15:  # settle slow bounces
+                            vel[i, 2] = 0.0
+                    vel[i, :2] *= 1.0 - friction * h / dt
+                    ang[i] *= 1.0 - friction * h / dt
+            # pairwise sphere contacts (o <= ~25: the n^2 loop is trivial)
+            if not collisions:
+                continue
+            for i in range(o):
+                for j in range(i + 1, o):
+                    if not (movable[i] or movable[j]):
+                        continue
+                    d = pos[i] - pos[j]
+                    dist = float(np.linalg.norm(d))
+                    overlap = radius[i] + radius[j] - dist
+                    if overlap <= 0.0 or dist < 1e-9:
+                        continue
+                    n = d / dist
+                    w_sum = inv_mass[i] + inv_mass[j]
+                    # positional projection split by inverse mass
+                    pos[i] += n * (overlap * inv_mass[i] / w_sum)
+                    pos[j] -= n * (overlap * inv_mass[j] / w_sum)
+                    v_rel = float(np.dot(vel[i] - vel[j], n))
+                    if v_rel < 0.0:  # approaching: restitution impulse
+                        imp = -(1.0 + restitution) * v_rel / w_sum
+                        vel[i] += imp * inv_mass[i] * n
+                        vel[j] -= imp * inv_mass[j] * n
+                        # graze: trade a bit of spin across the contact
+                        ang[i] *= 1.0 - 0.2 * friction
+                        ang[j] *= 1.0 - 0.2 * friction
+    return positions, rotations
+
+
 def _simulate(cfg: VideoConfig, rng: np.random.Generator):
     t, dt = cfg.frames, 1.0 / cfg.fps
 
@@ -254,40 +383,53 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
     cube_rot0 = _np_so3_exp(rng.normal(size=3))
     cube_vel = rng.uniform(-cfg.max_linear_velocity, cfg.max_linear_velocity, 3)
     cube_ang = rng.uniform(-cfg.max_angular_velocity, cfg.max_angular_velocity, 3)
-    cube_pos, cube_rot = _integrate_pose(
-        cube_pos0, cube_rot0, cube_vel, cube_ang, t, dt, cfg.gravity,
-        half_extents=np.full(3, abs_scale) if cfg.ground_contact else None,
-    )
 
-    # distractors: static on the floor + dynamic tossed
+    # distractors: static on the floor + dynamic tossed. All bodies integrate
+    # JOINTLY with object-object contacts (the PyBullet role) — tossed
+    # distractors bounce off the cube and the settled statics instead of
+    # passing through them.
     n_static = int(rng.integers(cfg.n_static_range[0], cfg.n_static_range[1] + 1))
     n_dynamic = int(rng.integers(cfg.n_dynamic_range[0], cfg.n_dynamic_range[1] + 1))
     shape_families = ("box", "wedge", "pyramid")  # non-box GSO-distractor role
     half_extents = [np.full(3, abs_scale)]
     verts_local = [render.shape_vertices(half_extents[0], "box")]  # cube IS a box
-    positions, rotations = [cube_pos], [cube_rot]
+    bodies = [
+        dict(pos=cube_pos0, rot=cube_rot0, vel=cube_vel, ang=cube_ang,
+             he=half_extents[0], movable=True)
+    ]
+    static_xy: list[tuple[np.ndarray, float]] = []
     for _ in range(n_static):
         he = rng.uniform(*cfg.distractor_scale_range, size=3)
-        pos = np.array([rng.uniform(-4, 4), rng.uniform(-4, 4), he[2]])
+        r_xy = float(np.linalg.norm(he))
+        # rejection-sample so statics don't spawn interpenetrating each other
+        # (the reference settles them through PyBullet instead)
+        for _attempt in range(25):
+            xy = np.array([rng.uniform(-4, 4), rng.uniform(-4, 4)])
+            if all(np.linalg.norm(xy - oxy) > r_xy + orad for oxy, orad in static_xy):
+                break
+        static_xy.append((xy, r_xy))
+        pos = np.array([xy[0], xy[1], he[2]])
         rot = _np_so3_exp(np.array([0.0, 0.0, rng.uniform(0, np.pi)]))
         half_extents.append(he)
         verts_local.append(render.shape_vertices(he, shape_families[int(rng.integers(3))]))
-        positions.append(np.tile(pos, (t, 1)))
-        rotations.append(np.tile(rot, (t, 1, 1)))
+        bodies.append(dict(pos=pos, rot=rot, vel=np.zeros(3), ang=np.zeros(3),
+                           he=he, movable=False))
     for _ in range(n_dynamic):
         he = rng.uniform(*cfg.distractor_scale_range, size=3)
         pos0 = np.array([rng.uniform(lo, hi), rng.uniform(lo, hi), rng.uniform(1.0, 3.0)])
         rot0 = _np_so3_exp(rng.normal(size=3))
         vel = rng.uniform(-cfg.max_linear_velocity, cfg.max_linear_velocity, 3)
         ang = rng.uniform(-cfg.max_angular_velocity, cfg.max_angular_velocity, 3)
-        p, r = _integrate_pose(
-            pos0, rot0, vel, ang, t, dt, cfg.gravity,
-            half_extents=he if cfg.ground_contact else None,
-        )
         half_extents.append(he)
         verts_local.append(render.shape_vertices(he, shape_families[int(rng.integers(3))]))
-        positions.append(p)
-        rotations.append(r)
+        bodies.append(dict(pos=pos0, rot=rot0, vel=vel, ang=ang, he=he, movable=True))
+
+    all_pos, all_rot = _simulate_bodies(
+        bodies, t, dt, cfg.gravity,
+        ground=cfg.ground_contact, collisions=cfg.object_collisions,
+    )
+    positions = [all_pos[:, i] for i in range(len(bodies))]
+    rotations = [all_rot[:, i] for i in range(len(bodies))]
 
     # Per-face albedos (O, 6, 3). The cube's six faces get a FIXED distinct
     # palette — the analog of the reference mjc asset's six face textures
@@ -434,6 +576,7 @@ def generate_one_video(cfg: VideoConfig, job_id: str | None = None) -> str:
                     "abs_scale": float(scene["half_extents"][o, 0]) if o == 0 else float(
                         scene["half_extents"][o].max()
                     ),
+                    "half_extents": scene["half_extents"][o].tolist(),
                     "positions": scene["positions"][:, o].tolist(),
                     "quaternions": quats.tolist(),
                 }

@@ -32,7 +32,26 @@ from perseus_tpu.data import schema
 from perseus_tpu.runtime.streaming import StreamingConfig, StreamingPipeline
 from perseus_tpu.smoother.lm import SmootherConfig
 
-__all__ = ["evaluate_pose_tracking", "load_job_frames"]
+__all__ = ["evaluate_pose_tracking", "load_job_frames", "rotation_angle"]
+
+
+def rotation_angle(rel: np.ndarray) -> np.ndarray:
+    """Geodesic angle (radians) of rotation matrices ``rel`` (..., 3, 3).
+
+    Uses the small-angle-stable form theta = 2 asin(||R - I||_F / (2 sqrt 2))
+    below 90 deg — arccos((trace-1)/2) in float32 floors every angle under
+    ~0.03 deg to exactly 0 (d(arccos)/dx -> inf at x=1 meets eps-level trace
+    error), which made committed pose_median_deg a quantization artifact —
+    and the arccos form above 90 deg where the asin form saturates instead.
+    Evaluated in float64 either way.
+    """
+    rel = np.asarray(rel, np.float64)
+    eye = np.eye(3, dtype=np.float64)
+    fro = np.linalg.norm(rel - eye, axis=(-2, -1))
+    small = 2.0 * np.arcsin(np.clip(fro / (2.0 * np.sqrt(2.0)), 0.0, 1.0))
+    cos = np.clip((np.trace(rel, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
+    large = np.arccos(cos)
+    return np.where(cos > 0.0, small, large)
 
 
 def load_job_frames(job_dir: str) -> tuple[np.ndarray, dict]:
@@ -137,8 +156,7 @@ def evaluate_pose_tracking(
     sl = slice(warmup, t)
     terr = np.linalg.norm(trans[sl] - trans_gt[sl], axis=-1)  # scene units
     rel = np.einsum("tji,tjk->tik", rots[sl], rot_gt[sl])  # R_est^T R_gt
-    cos = np.clip((np.trace(rel, axis1=-2, axis2=-1) - 1.0) / 2.0, -1.0, 1.0)
-    rerr_deg = np.degrees(np.arccos(cos))
+    rerr_deg = np.degrees(rotation_angle(rel))
 
     unit_to_mm = 0.035 / abs_scale * 1000.0
     return {

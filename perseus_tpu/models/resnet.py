@@ -84,8 +84,23 @@ def init_keypoint_cnn(
     n_keypoints: int = 8,
     num_channels: int = 3,
     dtype=jnp.float32,
+    head: str = "avgpool",
+    feat_hw: int = 8,
 ) -> tuple[dict[str, jnp.ndarray], dict[str, jnp.ndarray]]:
-    """Returns (params, batch_stats) flat dicts keyed by torch names."""
+    """Returns (params, batch_stats) flat dicts keyed by torch names.
+
+    ``head``:
+      * "avgpool" (default, reference parity): global average pool -> fc,
+        exactly the reference KeypointCNN (models.py:31-32).
+      * "spatial": fc over the FLATTENED final feature map
+        (feat_hw*feat_hw*512 -> 2K). Global average pooling throws away
+        WHERE features fire — for coordinate regression that is precision
+        lost by construction; a linear readout of the spatial map keeps it
+        (the DeepPose-style head) at +0.5M params. ``feat_hw`` must equal
+        input_resolution / 32 (8 for 256x256). The apply paths dispatch on
+        the stored fc.weight shape, so converted reference checkpoints and
+        spatial-head checkpoints both load with no flags.
+    """
     params: dict[str, jnp.ndarray] = {}
     stats: dict[str, jnp.ndarray] = {}
     keys = iter(jax.random.split(key, 64))
@@ -117,7 +132,13 @@ def init_keypoint_cnn(
                 stats.update({f"{prefix}.downsample.1.{k}": v for k, v in bn_s.items()})
             c_in = c_out
 
-    w, b = _linear_init(next(keys), 512, 2 * n_keypoints, dtype)
+    if head == "avgpool":
+        fc_in = 512
+    elif head == "spatial":
+        fc_in = feat_hw * feat_hw * 512
+    else:
+        raise ValueError(f"unknown head {head!r}")
+    w, b = _linear_init(next(keys), fc_in, 2 * n_keypoints, dtype)
     params["fc.weight"] = w  # stored (in, out); converter transposes torch's (out, in)
     params["fc.bias"] = b
     return params, stats
@@ -264,12 +285,26 @@ def keypoint_cnn_apply(
             )
 
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    pooled = jnp.mean(out.astype(acc_dtype), axis=(1, 2))  # global average pool
+    feat = _head_features(out, params["fc.weight"], acc_dtype)
     logits = (
-        jnp.dot(pooled, params["fc.weight"].astype(acc_dtype), precision=jax.lax.Precision.HIGHEST)
+        jnp.dot(feat, params["fc.weight"].astype(acc_dtype), precision=jax.lax.Precision.HIGHEST)
         + params["fc.bias"]
     )
     return logits.astype(acc_dtype), (new_stats if train else stats)
+
+
+def _head_features(out: jnp.ndarray, fc_w: jnp.ndarray, acc_dtype) -> jnp.ndarray:
+    """Head input dispatch on fc.weight's fan-in: 512 -> global average pool
+    (reference parity); H*W*512 -> flattened spatial map (head="spatial")."""
+    if fc_w.shape[0] == out.shape[-1]:
+        return jnp.mean(out.astype(acc_dtype), axis=(1, 2))
+    expect = out.shape[1] * out.shape[2] * out.shape[3]
+    if fc_w.shape[0] != expect:
+        raise ValueError(
+            f"fc.weight fan-in {fc_w.shape[0]} matches neither pooled ({out.shape[-1]}) "
+            f"nor flattened ({expect}) features — wrong input resolution for this head?"
+        )
+    return out.astype(acc_dtype).reshape(out.shape[0], expect)
 
 
 # --------------------------------------------------------------------------
@@ -392,9 +427,9 @@ def keypoint_cnn_apply_folded(
                 identity = conv_bias(out, f"{prefix}.downsample.0", stride, 0)
             out = jax.nn.relu(h + identity)
     acc_dtype = jnp.promote_types(x.dtype, jnp.float32)
-    pooled = jnp.mean(out.astype(acc_dtype), axis=(1, 2))
+    feat = _head_features(out, folded["fc.weight"], acc_dtype)
     logits = (
-        jnp.dot(pooled, folded["fc.weight"].astype(acc_dtype), precision=jax.lax.Precision.HIGHEST)
+        jnp.dot(feat, folded["fc.weight"].astype(acc_dtype), precision=jax.lax.Precision.HIGHEST)
         + folded["fc.bias"]
     )
     return logits.astype(acc_dtype)

@@ -40,6 +40,15 @@ class TrainConfig:
     n_keypoints: int = 8
     in_channels: int = 4  # 3 for RGB, 4 for RGBD
 
+    # Regression head: "avgpool" is the reference KeypointCNN head
+    # (AdaptiveAvgPool -> fc, models.py:31-32); "spatial" reads the
+    # flattened final feature map instead (models/resnet.py:init_keypoint_cnn
+    # docstring) — global pooling discards WHERE features fire, which for
+    # coordinate regression is precision lost by construction.
+    head: str = "avgpool"
+    # Input resolution the spatial head is built for (feature map = /32).
+    input_resolution: int = 256
+
     # Whether to shard the batch over all local devices (the TPU equivalent
     # of the reference's multigpu DDP switch).
     multigpu: bool = True
@@ -57,6 +66,13 @@ class TrainConfig:
     # reference-format .pth (the reference fine-tunes pretrained torchvision
     # weights; models.py:20 — supply them via this converter path).
     init_checkpoint: str = ""
+
+    # Initialize only the BACKBONE (everything but the fc head) from this
+    # checkpoint; the head re-initializes for the keypoint task. This is how
+    # a proxy-pretrained backbone (scripts/pretrain_backbone.py — the
+    # fine-tune-from-pretrained recipe of the reference, models.py:20,
+    # measured without torchvision weights in the image) feeds fine-tuning.
+    init_backbone: str = ""
 
     # Resume a previous run exactly (params, optimizer state, epoch, LR
     # schedule) from its orbax checkpoint dir. The reference has no resume
@@ -146,6 +162,38 @@ class TrainConfig:
     # (data/merge_hdf5.py:175-190 — a known dead feature); enabling this
     # actually applies them as per-example multipliers on the SmoothL1 loss.
     use_example_weights: bool = False
+
+    # Targeted oversampling of the measured failure regimes (round-3 val
+    # breakdown: seg-ratio 0.2-0.4 at 24.0 px RMSE, frames with out-of-frame
+    # corners at 21.8 px vs 14.2 in-frame). Each epoch's indices are drawn
+    # with replacement with per-row probability proportional to
+    # 1 + oversample_close * [seg_ratio > close_seg_threshold]
+    #   + oversample_outframe * [any GT corner outside the frame].
+    # 0.0 disables (uniform permutation, the reference's sampler semantics).
+    # Sampling reweights which frames gradient descent SEES; unlike loss
+    # weighting it leaves per-example gradient scale untouched.
+    oversample_close: float = 0.0
+    close_seg_threshold: float = 0.2
+    oversample_outframe: float = 0.0
+
+    # Out-of-frame corner loss handling, evaluated on POST-augmentation
+    # targets (round-3 breakdown: any-corner-out frames at 21.8 px RMSE vs
+    # 14.2 in-frame; the reference regresses invisible corners blindly,
+    # reference train.py:119). outframe_corner_weight scales the Huber loss
+    # of coords whose target lies outside the image (1.0 = reference
+    # parity; 0.0 masks them entirely); outframe_clamp_px >= 0 clamps
+    # training targets to [-m, size-1+m] so the head never chases a corner
+    # hundreds of px off-screen (negative disables). Both renormalize /
+    # leave eval untouched — val RMSE still scores true corners.
+    outframe_corner_weight: float = 1.0
+    outframe_clamp_px: float = -1.0
+
+    # Exponential moving average of params/batch_stats, updated once per
+    # EPOCH (Polyak averaging at the epoch scale: decay^k windows the last
+    # ~1/(1-decay) epochs). 0 disables. The EMA snapshot rides along in the
+    # checkpoint under "ema_params"/"ema_batch_stats"; validation and the LR
+    # schedule keep using the raw params (the EMA is an eval-time artifact).
+    ema_decay: float = 0.0
     # Cap on the mean-normalized example weight. The inverse-bin-frequency
     # weights are unbounded (a singleton seg-ratio bin gets weight 1.0 vs a
     # ~5e-4 median — ~600x the batch mean after normalization), and training

@@ -126,6 +126,40 @@ def _prepare_aug_batch(batch: dict, in_channels: int, use_transplant: bool) -> n
     return np.concatenate(parts, axis=-1, dtype=np.float32)
 
 
+def make_sharded_augment(train_augment: KeypointAugmentation, mesh=None):
+    """The augmentation stage as run inside the train step.
+
+    With ``mesh``: shard_map over the data axis — every stage is
+    batch-elementwise except the transplantation donor gather, which becomes
+    shard-local, and each shard folds its mesh position into the step key for
+    an independent random stream. ``check_vma=False`` is required because
+    pallas_call (the fused augmentation kernel) does not annotate
+    varying-mesh-axes metadata on its outputs; the hatch is confined to THIS
+    closure (nothing else in the step body runs under it), and the semantics
+    it could silently break — per-shard donor locality, per-shard independent
+    RNG, shard_map == per-shard-serial equality — are pinned by
+    tests/test_round4_features.py::test_sharded_augment_*.
+    """
+
+    def apply_augment(key: jax.Array, images_aug: jnp.ndarray, coords: jnp.ndarray):
+        if mesh is None:
+            return train_augment(key, images_aug, coords)
+
+        def local_aug(k, img, crd):
+            k = jax.random.fold_in(k, jax.lax.axis_index("data"))
+            return train_augment(k, img, crd)
+
+        return jax.shard_map(
+            local_aug,
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=(P("data"), P("data")),
+            check_vma=False,
+        )(key, images_aug, coords)
+
+    return apply_augment
+
+
 def make_train_step(
     cfg: TrainConfig,
     optimizer: optax.GradientTransformation,
@@ -143,25 +177,7 @@ def make_train_step(
     random streams.
     """
     compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
-
-    def apply_augment(key: jax.Array, images_aug: jnp.ndarray, coords: jnp.ndarray):
-        if mesh is None:
-            return train_augment(key, images_aug, coords)
-
-        def local_aug(k, img, crd):
-            k = jax.random.fold_in(k, jax.lax.axis_index("data"))
-            return train_augment(k, img, crd)
-
-        return jax.shard_map(
-            local_aug,
-            mesh=mesh,
-            in_specs=(P(), P("data"), P("data")),
-            out_specs=(P("data"), P("data")),
-            # pallas_call (the fused augmentation kernel) does not annotate
-            # varying-mesh-axes metadata on its outputs; fall back to the
-            # classic replication check
-            check_vma=False,
-        )(key, images_aug, coords)
+    apply_augment = make_sharded_augment(train_augment, mesh)
 
     def step_core(
         state: TrainState,
@@ -172,6 +188,34 @@ def make_train_step(
     ):
         images, target = apply_augment(key, images_aug, coords)
         images = images[..., : cfg.in_channels]
+        h_img, w_img = images.shape[1], images.shape[2]
+
+        # Out-of-frame corner handling (round-3 val breakdown: frames with
+        # any GT corner outside the image score 21.8 px RMSE vs 14.2
+        # in-frame — the head is asked to regress corners that are not in
+        # the picture; the reference regresses them blindly,
+        # reference train.py:119). Post-augmentation coords are the
+        # training-time truth — the pipeline has already moved corners and
+        # NORMALIZED them to [-1, 1] (augment/pipeline.py:268) — so the test
+        # happens HERE, in normalized units: out of frame <=> |coord| > 1.
+        corner_w = None
+        if cfg.outframe_corner_weight != 1.0:
+            out = jnp.any(jnp.abs(target) > 1.0, axis=-1)  # (B, K)
+            cw = jnp.where(out, cfg.outframe_corner_weight, 1.0)
+            # per-coordinate weights, mean-normalized so the loss scale (and
+            # the LR recipe) matches the unweighted path
+            corner_w = jnp.repeat(cw, 2, axis=-1)
+            corner_w = corner_w / jnp.maximum(jnp.mean(corner_w), 1e-12)
+        if cfg.outframe_clamp_px >= 0:
+            # pixel margin -> normalized margin (u_norm = 2u/(W-1) - 1)
+            mm = jnp.asarray(
+                [
+                    2.0 * cfg.outframe_clamp_px / (w_img - 1.0),
+                    2.0 * cfg.outframe_clamp_px / (h_img - 1.0),
+                ],
+                target.dtype,
+            )
+            target = jnp.clip(target, -1.0 - mm, 1.0 + mm)
         target = target.reshape(target.shape[0], -1)
 
         def loss_fn(params):
@@ -179,10 +223,16 @@ def make_train_step(
                 params, state.batch_stats, images, train=True, compute_dtype=compute_dtype
             )
             if weights is None:
-                return smooth_l1_loss(pred, target), new_stats
+                if corner_w is None:
+                    return smooth_l1_loss(pred, target), new_stats
+                per_coord = optax.huber_loss(pred, target, delta=1.0)
+                return jnp.mean(per_coord * corner_w), new_stats
             # inverse-frequency example weighting (normalized so the loss
             # scale — and thus the LR recipe — matches the unweighted path)
-            per_example = jnp.mean(optax.huber_loss(pred, target, delta=1.0), axis=-1)
+            per_coord = optax.huber_loss(pred, target, delta=1.0)
+            if corner_w is not None:
+                per_coord = per_coord * corner_w
+            per_example = jnp.mean(per_coord, axis=-1)
             wnorm = weights / jnp.maximum(jnp.mean(weights), 1e-12)
             # cap outlier weights (see TrainConfig.example_weight_clip), then
             # restore E[w]=1 so the loss scale matches the unweighted recipe
@@ -497,8 +547,27 @@ def init_state(cfg: TrainConfig, optimizer: optax.GradientTransformation, mesh) 
         stats = jax.tree.map(jnp.asarray, stats)
     else:
         params, stats = resnet.init_keypoint_cnn(
-            jax.random.key(cfg.random_seed), cfg.n_keypoints, cfg.in_channels
+            jax.random.key(cfg.random_seed),
+            cfg.n_keypoints,
+            cfg.in_channels,
+            head=cfg.head,
+            feat_hw=cfg.input_resolution // 32,
         )
+        if cfg.init_backbone:
+            # backbone-only init (proxy-pretrained weights; the head stays
+            # fresh — its fan-in may differ from the pretrain task's head)
+            pre_params, pre_stats = ckpt.load_model(cfg.init_backbone)
+            for k, v in pre_params.items():
+                if not k.startswith("fc.") and k in params:
+                    if params[k].shape != jnp.asarray(v).shape:
+                        raise ValueError(
+                            f"init_backbone shape mismatch at {k}: "
+                            f"{jnp.asarray(v).shape} vs {params[k].shape}"
+                        )
+                    params[k] = jnp.asarray(v)
+            for k, v in pre_stats.items():
+                if k in stats:
+                    stats[k] = jnp.asarray(v)
     opt_state = optimizer.init(params)
     replicated = NamedSharding(mesh, P())
     return TrainState(
@@ -506,6 +575,32 @@ def init_state(cfg: TrainConfig, optimizer: optax.GradientTransformation, mesh) 
         batch_stats=jax.device_put(stats, replicated),
         opt_state=jax.device_put(opt_state, replicated),
     )
+
+
+@jax.jit
+def _ema_apply(ema, snap, decay):
+    return jax.tree.map(lambda a, b: decay * a + (1.0 - decay) * b, ema, snap)
+
+
+def make_sample_weights(dataset: PrunedKeypointDataset, cfg: TrainConfig) -> np.ndarray | None:
+    """Per-row epoch-sampling weights targeting the measured failure regimes
+    (TrainConfig.oversample_close / oversample_outframe); None = uniform."""
+    if not (cfg.oversample_close or cfg.oversample_outframe):
+        return None
+    seg = np.asarray(dataset.split.segmentation_ratios, np.float64)
+    pc = np.asarray(dataset.pixel_coordinates)
+    any_out = (
+        (pc[..., 0] < 0)
+        | (pc[..., 0] > dataset.W - 1)
+        | (pc[..., 1] < 0)
+        | (pc[..., 1] > dataset.H - 1)
+    ).any(axis=-1)
+    w = (
+        1.0
+        + cfg.oversample_close * (seg > cfg.close_seg_threshold)
+        + cfg.oversample_outframe * any_out
+    )
+    return np.asarray(w, np.float64)
 
 
 def maybe_initialize_distributed(cfg: TrainConfig) -> None:
@@ -527,10 +622,17 @@ def maybe_initialize_distributed(cfg: TrainConfig) -> None:
             num_processes=cfg.num_processes,
             process_id=cfg.process_id,
         )
+    # State check first: jax >= 0.9 raises "distributed.initialize should
+    # only be called once." (no "already initialized" substring), so message
+    # matching alone is a dead guard against newer jax.
+    is_init = getattr(jax.distributed, "is_initialized", None)
+    if is_init is not None and is_init():
+        return
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as exc:  # already initialized — stay re-entrant
-        if "already initialized" not in str(exc).lower():
+        msg = str(exc).lower()
+        if "already initialized" not in msg and "only be called once" not in msg:
             raise
 
 
@@ -545,9 +647,10 @@ def train(cfg: TrainConfig) -> dict:
     # multi-host: each process loads its shard of the global permutation
     shard_index, num_shards = jax.process_index(), jax.process_count()
     per_host_batch = cfg.batch_size // num_shards
+    sample_w = make_sample_weights(train_dataset, cfg)
     train_loader = PrefetchingLoader(
         train_dataset, per_host_batch, shuffle=True, seed=cfg.random_seed,
-        shard_index=shard_index, num_shards=num_shards,
+        shard_index=shard_index, num_shards=num_shards, sample_weights=sample_w,
     )
     val_loader = PrefetchingLoader(
         val_dataset, per_host_batch, shuffle=False, drop_last=False,
@@ -618,6 +721,7 @@ def train(cfg: TrainConfig) -> dict:
     scheduler = PlateauScheduler(
         cfg.learning_rate, cfg.plateau_patience, cfg.plateau_factor, cfg.min_learning_rate
     )
+    ema = None  # epoch-scale Polyak average (cfg.ema_decay); eval artifact
     start_epoch = 0
     if cfg.resume:
         template = {
@@ -629,12 +733,24 @@ def train(cfg: TrainConfig) -> dict:
             "sched_best": 0.0,
             "sched_num_bad": 0,
         }
-        try:
-            saved = ckpt.restore_train_state(cfg.resume, target=template)
-        except (KeyError, ValueError):  # pre-scheduler-state checkpoint layout
-            template.pop("sched_best")
-            template.pop("sched_num_bad")
-            saved = ckpt.restore_train_state(cfg.resume, target=template)
+        if cfg.ema_decay > 0:
+            template["ema_params"] = state.params
+            template["ema_batch_stats"] = state.batch_stats
+        saved = None
+        while saved is None:
+            try:
+                saved = ckpt.restore_train_state(cfg.resume, target=template)
+            except (KeyError, ValueError):
+                # older checkpoint layouts: first drop the EMA keys, then the
+                # scheduler-state keys
+                if "ema_params" in template:
+                    template.pop("ema_params")
+                    template.pop("ema_batch_stats")
+                elif "sched_best" in template:
+                    template.pop("sched_best")
+                    template.pop("sched_num_bad")
+                else:
+                    raise
         replicated = NamedSharding(mesh, P())
         state = TrainState(
             params=jax.device_put(saved["params"], replicated),
@@ -647,6 +763,11 @@ def train(cfg: TrainConfig) -> dict:
         # from an uninterrupted run whenever a plateau spans it
         scheduler.best = float(saved.get("sched_best", float("inf")))
         scheduler.num_bad = int(saved.get("sched_num_bad", 0))
+        if "ema_params" in saved:
+            ema = {
+                "params": jax.device_put(saved["ema_params"], replicated),
+                "batch_stats": jax.device_put(saved["ema_batch_stats"], replicated),
+            }
         state = state._replace(opt_state=set_learning_rate(state.opt_state, scheduler.lr))
         run_id = os.path.basename(os.path.normpath(cfg.resume))
     else:
@@ -673,11 +794,12 @@ def train(cfg: TrainConfig) -> dict:
         return np.sort(rng.choice(len(train_dataset), cfg.device_data_rows, replace=False))
 
     dd_sub_window = None
+    dd_cur_sub = None
     if cfg.data_on_device:
-        dd_sub = _dd_subset_for(start_epoch)
+        dd_cur_sub = _dd_subset_for(start_epoch)
         r = cfg.device_data_refresh_epochs
-        dd_sub_window = (start_epoch // r) * r if (r and dd_sub is not None) else 0
-        dd_train = _device_dataset(train_dataset, cfg, mesh, use_transplant, subset=dd_sub)
+        dd_sub_window = (start_epoch // r) * r if (r and dd_cur_sub is not None) else 0
+        dd_train = _device_dataset(train_dataset, cfg, mesh, use_transplant, subset=dd_cur_sub)
         dd_val = _device_dataset(val_dataset, cfg, mesh, use_transplant=False)
 
     if cfg.data_on_device:
@@ -732,8 +854,9 @@ def train(cfg: TrainConfig) -> dict:
                 for a in dd_train[:3]:
                     a.delete()
                 dd_sub_window = (epoch // r) * r
+                dd_cur_sub = _dd_subset_for(epoch)
                 dd_train = _device_dataset(
-                    train_dataset, cfg, mesh, use_transplant, subset=_dd_subset_for(epoch)
+                    train_dataset, cfg, mesh, use_transplant, subset=dd_cur_sub
                 )
                 # each refresh stages ~10 GB of decode temporaries; glibc
                 # keeps the freed arenas (measured ~4 GB RSS creep per
@@ -748,12 +871,34 @@ def train(cfg: TrainConfig) -> dict:
             d_imgs, d_crds, d_w, _, n_local = dd_train
             # shard-local per-epoch permutations (the DistributedSampler
             # reshuffle, one independent stream per shard)
-            perms = np.stack(
-                [
-                    np.random.default_rng((cfg.random_seed, epoch, d)).permutation(n_local)
-                    for d in range(n_dev)
-                ]
-            )
+            if sample_w is not None:
+                # weighted draw WITH replacement: shard-local position
+                # (d, i) holds dataset row order[(d*n_local+i) % n_resident]
+                # (the _device_dataset wrap-pad layout), so each shard's
+                # sampling probabilities come from its own resident rows
+                n_res = len(dd_cur_sub) if dd_cur_sub is not None else len(train_dataset)
+                rows = (
+                    np.arange(n_dev)[:, None] * n_local + np.arange(n_local)[None, :]
+                ) % n_res
+                if dd_cur_sub is not None:
+                    rows = np.asarray(dd_cur_sub)[rows]
+                probs = sample_w[rows]
+                probs /= probs.sum(axis=1, keepdims=True)
+                perms = np.stack(
+                    [
+                        np.random.default_rng((cfg.random_seed, epoch, d)).choice(
+                            n_local, size=n_local, replace=True, p=probs[d]
+                        )
+                        for d in range(n_dev)
+                    ]
+                )
+            else:
+                perms = np.stack(
+                    [
+                        np.random.default_rng((cfg.random_seed, epoch, d)).permutation(n_local)
+                        for d in range(n_dev)
+                    ]
+                )
             if cfg.device_data_epoch_scan and not cfg.profile_dir:
                 # one dispatch for the whole epoch: (steps, B) index tensor,
                 # keys folded in-graph (bit-identical to the per-step fold)
@@ -837,6 +982,13 @@ def train(cfg: TrainConfig) -> dict:
                 maybe_profile(loss)
         if epoch_losses:
             jax.block_until_ready(epoch_losses[-1])  # close the async pipeline
+        if cfg.ema_decay > 0:
+            snap = {"params": state.params, "batch_stats": state.batch_stats}
+            # First snapshot runs through _ema_apply too (decay*x+(1-decay)*x
+            # == x) so it comes back as FRESH buffers with the input sharding:
+            # the train step donates its state, and an aliased snapshot would
+            # be deleted by next epoch's first step ("Array has been deleted").
+            ema = _ema_apply(ema if ema is not None else snap, snap, cfg.ema_decay)
         epoch_time = time.time() - t0
         throughput = n_images * jax.process_count() / max(epoch_time, 1e-9)
         epoch_losses = [float(l) for l in epoch_losses]
@@ -906,18 +1058,19 @@ def train(cfg: TrainConfig) -> dict:
         # hosts at their next collective. Orbax itself coordinates so only
         # the primary host writes the (replicated) state.
         if epoch % cfg.save_epochs == 0:
-            ckpt.save_train_state(
-                f"{ROOT}/outputs/models/{run_id}",
-                {
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                    "opt_state": state.opt_state,
-                    "epoch": epoch,
-                    "lr": scheduler.lr,
-                    "sched_best": scheduler.best,
-                    "sched_num_bad": scheduler.num_bad,
-                },
-            )
+            to_save = {
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "epoch": epoch,
+                "lr": scheduler.lr,
+                "sched_best": scheduler.best,
+                "sched_num_bad": scheduler.num_bad,
+            }
+            if ema is not None:
+                to_save["ema_params"] = ema["params"]
+                to_save["ema_batch_stats"] = ema["batch_stats"]
+            ckpt.save_train_state(f"{ROOT}/outputs/models/{run_id}", to_save)
 
     if profiling:  # runs shorter than profile_steps: flush the trace anyway
         jax.profiler.stop_trace()
@@ -930,6 +1083,7 @@ def train(cfg: TrainConfig) -> dict:
         "train_loss_history": loss_history,
         "final_val_loss": last_val_loss,
         "state": state,
+        "ema": ema,  # {"params", "batch_stats"} or None (cfg.ema_decay == 0)
     }
 
 

@@ -1,0 +1,150 @@
+"""Self-supervised backbone pretraining: 4-way rotation pretext task.
+
+The reference ALWAYS fine-tunes from ImageNet weights
+(reference: perseus/detector/models.py:20, weights="DEFAULT"); this image
+has no torchvision weights and zero egress, so the fine-tune-vs-scratch
+delta is measured with a cheap proxy instead (VERDICT round-3 item 3): the
+backbone learns to classify which of {0, 90, 180, 270} degrees an input
+crop was rotated by (Gidaris et al., ICLR 2018) over the rendered corpus,
+then the keypoint run initializes from it via TrainConfig.init_backbone.
+
+One jitted step, device-resident images, runs on the single chip. Saves an
+orbax checkpoint at --output-dir/final consumable by
+``--init-backbone`` in train.py / train_at_scale.py.
+
+Usage:
+    python scripts/pretrain_backbone.py \
+        --dataset-path outputs/scale_run3/data_full/pruned/pruned.hdf5 \
+        --epochs 30 --output-dir outputs/models/pretrain_rot
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+
+@dataclasses.dataclass(frozen=True)
+class PretrainConfig:
+    dataset_path: str = "outputs/scale_run3/data_full/pruned/pruned.hdf5"
+    output_dir: str = "outputs/models/pretrain_rot"
+    epochs: int = 30
+    batch_size: int = 256
+    learning_rate: float = 1e-3
+    weight_decay: float = 1e-2
+    in_channels: int = 4
+    # cap the device-resident image pool (rows drawn uniformly once);
+    # rotation pretext saturates long before it needs every frame
+    max_rows: int = 20000
+    data_dtype: str = "bfloat16"
+    seed: int = 0
+
+
+def main() -> None:
+    from perseus_tpu.configs.cli import cli
+    from perseus_tpu.data.dataset import KeypointDatasetConfig, PrunedKeypointDataset
+    from perseus_tpu.models import resnet
+    from perseus_tpu.train import checkpoint as ckpt
+
+    cfg = cli(PretrainConfig)
+    ds = PrunedKeypointDataset(KeypointDatasetConfig(dataset_path=cfg.dataset_path), train=True)
+    n = min(len(ds), cfg.max_rows)
+    rows = np.random.default_rng(cfg.seed).choice(len(ds), n, replace=False)
+
+    # decode + upload once (RGB [+ depth]), stored compactly
+    store = jnp.dtype(cfg.data_dtype)
+    chunks = []
+    for s in range(0, n, 512):
+        b = ds.batch(rows[s : s + 512])
+        img = b["image"]
+        if cfg.in_channels >= 4:
+            img = np.concatenate([img, b["depth_image"][..., None]], axis=-1)
+        chunks.append(jax.device_put(img.astype(store)))
+    images = jnp.concatenate(chunks)
+    print(f"[pretrain] {n} rows resident ({images.nbytes / 1e9:.1f} GB)", flush=True)
+
+    params, stats = resnet.init_keypoint_cnn(
+        jax.random.key(cfg.seed), n_keypoints=2, num_channels=cfg.in_channels
+    )  # head: 512 -> 4 logits (2 keypoints * 2 = 4, reusing the fc shape)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay),
+    )
+    opt_state = optimizer.init(params)
+
+    def rot_batch(img):
+        """Quarters of the batch rotated by 0/90/180/270 (static shapes)."""
+        b = img.shape[0]
+        q = b // 4
+        parts, labels = [], []
+        for k in range(4):
+            parts.append(jnp.rot90(img[k * q : (k + 1) * q], k=k, axes=(1, 2)))
+            labels.append(jnp.full((q,), k, jnp.int32))
+        return jnp.concatenate(parts), jnp.concatenate(labels)
+
+    @jax.jit
+    def train_step(params, stats, opt_state, idx, key):
+        img = jnp.take(images, idx, axis=0).astype(jnp.float32)
+        img, labels = rot_batch(img)
+        # shuffle within batch so BN doesn't see label-sorted halves
+        perm = jax.random.permutation(key, img.shape[0])
+        img, labels = img[perm], labels[perm]
+
+        def loss_fn(p):
+            logits, new_stats = resnet.keypoint_cnn_apply(
+                p, stats, img, train=True, compute_dtype=jnp.bfloat16
+            )
+            loss = jnp.mean(
+                optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            )
+            acc = jnp.mean((jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            return loss, (new_stats, acc)
+
+        (loss, (new_stats, acc)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, opt_state, loss, acc
+
+    steps_per_epoch = n // cfg.batch_size
+    rng = np.random.default_rng(cfg.seed)
+    t0 = time.time()
+    acc_v = float("nan")
+    for epoch in range(cfg.epochs):
+        order = rng.permutation(n)
+        losses, accs = [], []
+        for s in range(steps_per_epoch):
+            idx = jnp.asarray(order[s * cfg.batch_size : (s + 1) * cfg.batch_size])
+            key = jax.random.key(epoch * steps_per_epoch + s, impl="rbg")
+            params, stats, opt_state, loss, acc = train_step(
+                params, stats, opt_state, idx, key
+            )
+            losses.append(loss)
+            accs.append(acc)
+        loss_v = float(jnp.mean(jnp.stack(losses)))
+        acc_v = float(jnp.mean(jnp.stack(accs)))
+        print(f"[pretrain epoch {epoch}] loss {loss_v:.4f} rot-acc {acc_v:.3f} "
+              f"({time.time() - t0:.0f}s)", flush=True)
+
+    os.makedirs(cfg.output_dir, exist_ok=True)
+    ckpt.save_train_state(
+        os.path.join(cfg.output_dir, "final"),
+        {"params": params, "batch_stats": stats, "opt_state": opt_state,
+         "epoch": cfg.epochs - 1, "lr": 0.0},
+    )
+    with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
+        json.dump({"rot_acc": acc_v, "epochs": cfg.epochs, "n_rows": n}, f)
+    print(f"[pretrain] saved -> {cfg.output_dir}/final (rot-acc {acc_v:.3f})", flush=True)
+
+
+if __name__ == "__main__":
+    main()

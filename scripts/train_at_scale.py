@@ -49,6 +49,16 @@ class ScaleRunConfig:
     device_data_rows: int = 0
     device_data_refresh_epochs: int = 0
     use_example_weights: bool = False
+    # Round-4 accuracy levers (see TrainConfig for semantics/rationale):
+    head: str = "avgpool"
+    oversample_close: float = 0.0
+    oversample_outframe: float = 0.0
+    outframe_corner_weight: float = 1.0
+    outframe_clamp_px: float = -1.0
+    ema_decay: float = 0.0
+    # Backbone-only init from a proxy-pretrained checkpoint
+    # (scripts/pretrain_backbone.py) — the reference's fine-tune recipe.
+    init_backbone: str = ""
     # LR plateau schedule. The round-3 renderer's harder domain needs many
     # more epochs at the base LR before corner identity locks in: the default
     # patience-5/0.25x schedule decays to the floor while the model is still
@@ -235,6 +245,13 @@ def main() -> None:
         device_data_rows=cfg.device_data_rows,
         device_data_refresh_epochs=cfg.device_data_refresh_epochs,
         use_example_weights=cfg.use_example_weights,
+        head=cfg.head,
+        oversample_close=cfg.oversample_close,
+        oversample_outframe=cfg.oversample_outframe,
+        outframe_corner_weight=cfg.outframe_corner_weight,
+        outframe_clamp_px=cfg.outframe_clamp_px,
+        ema_decay=cfg.ema_decay,
+        init_backbone=cfg.init_backbone,
         plateau_patience=cfg.plateau_patience,
         plateau_factor=cfg.plateau_factor,
         resume=cfg.resume,
@@ -252,8 +269,21 @@ def main() -> None:
     train_ds = PrunedKeypointDataset(tcfg.dataset_config, train=True, cache=False)
     dd_val = tm._device_dataset(val_ds, tcfg, mesh, use_transplant=False)
     rmse_stats = val_rmse_px(state, tcfg, mesh, dd_val)
+    ema_rmse = None
+    if result.get("ema") is not None:
+        # score the Polyak average; promote it to "the model" if it wins
+        ema_state = state._replace(
+            params=result["ema"]["params"], batch_stats=result["ema"]["batch_stats"]
+        )
+        ema_stats_full = val_rmse_px(ema_state, tcfg, mesh, dd_val)
+        ema_rmse = ema_stats_full["val_rmse_px"]
+        if ema_rmse < rmse_stats["val_rmse_px"]:
+            state = ema_state
+            rmse_stats, ema_rmse = ema_stats_full, rmse_stats["val_rmse_px"]
     breakdown = failure_breakdown(val_ds, rmse_stats, val_ds.H, val_ds.W)
     rmse_stats = {k: v for k, v in rmse_stats.items() if not k.startswith("_")}
+    if ema_rmse is not None:
+        rmse_stats["other_variant_rmse_px"] = float(ema_rmse)
     for a in dd_val[:3]:
         a.delete()  # free HBM before the holdout upload
 

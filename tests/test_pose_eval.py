@@ -8,7 +8,43 @@ import pytest
 
 from perseus_tpu.datagen.generate import VideoConfig, generate_one_video
 from perseus_tpu.datagen.labeling import label_trajectory
-from perseus_tpu.eval.pose_eval import evaluate_pose_tracking, load_job_frames
+from perseus_tpu.eval.pose_eval import (
+    evaluate_pose_tracking,
+    load_job_frames,
+    rotation_angle,
+)
+
+
+def _rot_about(axis, angle_rad):
+    axis = np.asarray(axis, np.float64)
+    axis = axis / np.linalg.norm(axis)
+    k = np.array(
+        [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+    )
+    return np.eye(3) + np.sin(angle_rad) * k + (1 - np.cos(angle_rad)) * (k @ k)
+
+
+def test_rotation_angle_small_angles_not_floored():
+    """arccos((trace-1)/2) in f32 floors angles < ~0.03 deg to exactly 0
+    (the committed round-3 pose_median_deg=0.0 artifact); the stable form
+    must recover tiny angles to <=1e-3 deg absolute error."""
+    for deg in (1e-3, 5e-3, 0.01, 0.02, 0.05, 0.1, 1.0, 10.0):
+        rel = _rot_about([1.0, 2.0, 3.0], np.radians(deg)).astype(np.float32)
+        got = np.degrees(rotation_angle(rel))
+        assert abs(got - deg) <= 1e-3, (deg, got)
+        assert got > 0.0
+
+
+def test_rotation_angle_large_angles():
+    for deg in (90.0, 120.0, 179.5, 180.0):
+        rel = _rot_about([0.0, 1.0, 0.0], np.radians(deg))
+        got = np.degrees(rotation_angle(rel))
+        assert abs(got - deg) <= 1e-4, (deg, got)
+    assert rotation_angle(np.eye(3)) == 0.0
+    # batched input
+    batch = np.stack([_rot_about([1, 0, 0], np.radians(d)) for d in (0.01, 45.0, 170.0)])
+    got = np.degrees(rotation_angle(batch))
+    np.testing.assert_allclose(got, [0.01, 45.0, 170.0], atol=1e-4)
 
 
 @pytest.fixture(scope="module")

@@ -177,6 +177,51 @@ def test_fixed_lag_tracks_stream():
     assert max(errs[window:]) < 2e-2, errs
 
 
+def test_coarse_pose_large_rotation_cold_start():
+    """VERDICT round-3 item 8: the weak-perspective POS init must bring a
+    cold start with >= 90 deg true rotation into the LM basin (the old
+    identity-rotation guess left it at 90-180 deg, outside). Asserts (a) the
+    coarse rotation error is far below the identity-guess error, and (b) the
+    fixed-lag smoother initialized from it converges on the stream."""
+    k = intrinsics_from_fov(jnp.asarray(np.pi / 3, jnp.float64), 256, 256)
+    corners = cube_corners(0.035).astype(jnp.float64)
+    rng = np.random.default_rng(5)
+    for axis_angle in ([np.pi / 2, 0.3, -0.2], [0.1, 2.4, 0.3], [1.8, -1.8, 0.5]):
+        rot_gt = lie.so3_exp(jnp.asarray(axis_angle, jnp.float64))
+        pose_gt = lie.SE3(rot_gt, jnp.asarray([0.03, -0.02, 0.4], jnp.float64))
+        identity_err_deg = np.degrees(
+            float(jnp.linalg.norm(lie.so3_log(pose_gt.rot)))
+        )
+        assert identity_err_deg >= 89.0  # the regime under test
+
+        p_world = lie.transform_from(lie.SE3(pose_gt.rot[None], pose_gt.trans[None]), corners)
+        meas0 = project(k, p_world)
+        cfg = SmootherConfig(window=6, dt=DT, vel_frame="body", max_iterations=8)
+        smoother = FixedLagSmoother(cfg, k, corners, dtype=jnp.float64)
+        coarse = smoother.coarse_pose_from_keypoints(meas0)
+        rot_err_deg = np.degrees(
+            float(jnp.linalg.norm(lie.so3_log(coarse.rot.T @ pose_gt.rot)))
+        )
+        # weak perspective + Necker ambiguity: not exact, but way inside the
+        # basin compared to the identity guess
+        assert rot_err_deg < 0.5 * identity_err_deg, (rot_err_deg, identity_err_deg)
+        assert abs(float(coarse.trans[2]) - 0.4) < 0.1  # depth from scale
+
+        # (b) stream convergence from the coarse init: static-ish cube
+        carry = smoother.init(initial_pose=coarse)
+        update = jax.jit(smoother.update)
+        twist = jnp.asarray([0.05, -0.04, 0.03, 0.002, 0.001, -0.002], jnp.float64)
+        pose = pose_gt
+        errs = []
+        for i in range(12):
+            pw = lie.transform_from(lie.SE3(pose.rot[None], pose.trans[None]), corners)
+            m = project(k, pw) + 0.2 * jnp.asarray(rng.normal(size=(8, 2)))
+            carry, est = update(carry, m)
+            errs.append(float(jnp.linalg.norm(lie.se3_log(lie.se3_between(est, pose)))))
+            pose = lie.se3_compose(pose, lie.se3_exp(DT * twist))
+        assert min(errs[6:]) < 5e-2, (axis_angle, errs)
+
+
 def test_block_normal_equations_match_jacfwd():
     """The analytic block assembly must reproduce J^T J, J^T r, and the cost
     of the dense-jacfwd oracle on a partially-valid noisy window."""
