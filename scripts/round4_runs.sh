@@ -1,0 +1,71 @@
+#!/bin/bash
+# Round-4 on-chip sequence (single v5e through the axon tunnel; run ONE
+# tunnel-bound job at a time). Reuses the round-3 2,500-video dataset
+# (outputs/scale_run3/data_full/pruned/pruned.hdf5) so accuracy deltas are
+# measured at the same operating point (VERDICT round-3 item 2).
+#
+# Stages:
+#   1. profile the train step (VERDICT item 4: profile-backed attribution)
+#   2. proxy-pretrain the backbone (rotation pretext; VERDICT item 3)
+#   3. 100-epoch ablations: baseline / spatial head / +oversample+outframe /
+#      +pretrained-init  (each also reports the EMA variant)
+#   4. final 300-epoch run with the winning combo -> outputs/models/scale_run
+#
+# Usage: bash scripts/round4_runs.sh [stage...]   (default: all)
+set -u
+cd "$(dirname "$0")/.."
+DATA="--job-dir outputs/scale_run3/jobs --data-root outputs/scale_run3/data_full --skip-prepare"
+EVAL="--holdout-job-dir outputs/scale_run3/holdout_jobs --pose-eval-job outputs/scale_run3/pose_jobs/00000000"
+OP="--batch-size 256 --device-data-rows 9500 --device-data-refresh-epochs 16 --host-cache"
+ABL="--epochs 100 $DATA $OP"
+LOG=outputs/round4_logs
+mkdir -p "$LOG"
+
+run() {  # run NAME CMD... — log, tolerate failure, continue
+  local name=$1; shift
+  echo "=== [$(date +%H:%M:%S)] $name: $*" | tee -a "$LOG/driver.log"
+  timeout 7200 "$@" > "$LOG/$name.log" 2>&1
+  echo "=== [$(date +%H:%M:%S)] $name rc=$?" | tee -a "$LOG/driver.log"
+}
+
+stages=${*:-profile pretrain abl_base abl_spatial abl_tail abl_pre final}
+for s in $stages; do case $s in
+  profile)
+    run prof_full   python scripts/profile_train_step.py --output-dir outputs/profiles/r4_full --variant full
+    run prof_fwdbwd python scripts/profile_train_step.py --output-dir outputs/profiles/r4_fwdbwd --variant fwdbwd
+    run prof_fwd    python scripts/profile_train_step.py --output-dir outputs/profiles/r4_fwd --variant fwd
+    ;;
+  pretrain)
+    run pretrain python scripts/pretrain_backbone.py \
+      --dataset-path outputs/scale_run3/data_full/pruned/pruned.hdf5 \
+      --epochs 30 --output-dir outputs/models/pretrain_rot
+    ;;
+  abl_base)
+    run abl_base python scripts/train_at_scale.py $ABL \
+      --output-dir outputs/models/abl_base --ema-decay 0.8
+    ;;
+  abl_spatial)
+    run abl_spatial python scripts/train_at_scale.py $ABL \
+      --output-dir outputs/models/abl_spatial --head spatial --ema-decay 0.8
+    ;;
+  abl_tail)
+    run abl_tail python scripts/train_at_scale.py $ABL \
+      --output-dir outputs/models/abl_tail --head spatial --ema-decay 0.8 \
+      --oversample-close 2.0 --oversample-outframe 1.0 \
+      --outframe-corner-weight 0.3 --outframe-clamp-px 32
+    ;;
+  abl_pre)
+    run abl_pre python scripts/train_at_scale.py $ABL \
+      --output-dir outputs/models/abl_pre --head spatial --ema-decay 0.8 \
+      --init-backbone outputs/models/pretrain_rot/final
+    ;;
+  final)
+    # lever choice reviewed by hand between stages; this default is the
+    # full stack minus anything an ablation disproved
+    run final python scripts/train_at_scale.py --epochs 300 $DATA $OP $EVAL \
+      --output-dir outputs/models/scale_run --head spatial --ema-decay 0.9 \
+      --oversample-close 2.0 --oversample-outframe 1.0 \
+      --outframe-corner-weight 0.3 --outframe-clamp-px 32
+    ;;
+  *) echo "unknown stage $s";;
+esac; done
