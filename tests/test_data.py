@@ -83,6 +83,37 @@ def test_loader_epochs_and_sharding(synth_dataset):
     assert sorted(all_idx.tolist()) == sorted(loader.epoch_indices(0).tolist())
 
 
+def test_loader_shard_equivalence_non_divisible(synth_dataset):
+    """1-process and 2-process loaders must iterate IDENTICAL global batches
+    (same wrap-padding, same step count) even when the dataset size does not
+    divide the global batch — the round-3 code drop-last-truncated the
+    single-shard path but wrap-padded the multi-shard one, so the two
+    topologies saw different epochs whenever n % global_batch != 0."""
+
+    class _FakeLen:
+        def __len__(self):
+            return 10  # not divisible by the global batch of 4
+
+    single = PrefetchingLoader(_FakeLen(), batch_size=4, seed=0)
+    shard0 = PrefetchingLoader(_FakeLen(), batch_size=2, seed=0, shard_index=0, num_shards=2)
+    shard1 = PrefetchingLoader(_FakeLen(), batch_size=2, seed=0, shard_index=1, num_shards=2)
+    for epoch in range(3):
+        idx = single.epoch_indices(epoch)
+        assert len(idx) == 12  # wrap-padded to whole global batches
+        i0, i1 = shard0.epoch_indices(epoch), shard1.epoch_indices(epoch)
+        # reassemble each global batch from the per-shard contiguous blocks
+        rebuilt = np.concatenate(
+            [
+                np.concatenate([i0[b * 2 : (b + 1) * 2], i1[b * 2 : (b + 1) * 2]])
+                for b in range(3)
+            ]
+        )
+        np.testing.assert_array_equal(rebuilt, idx)
+    # eval loaders (drop_last=False) keep the exact unpadded order
+    ev = PrefetchingLoader(_FakeLen(), batch_size=4, seed=0, shuffle=False, drop_last=False)
+    np.testing.assert_array_equal(ev.epoch_indices(0), np.arange(10))
+
+
 def test_merge_and_prune_roundtrip(tmp_path):
     """Builds two raw trajectory HDF5s, merges, prunes, loads."""
     import h5py
