@@ -176,6 +176,16 @@ class TrainConfig:
     close_seg_threshold: float = 0.2
     oversample_outframe: float = 0.0
 
+    # Measured-difficulty oversampling: a .npy of per-TRAIN-row weights
+    # produced by scripts/compute_difficulty_weights.py (per-frame keypoint
+    # error of a previous checkpoint, normalized to mean 1). Round-3 val
+    # analysis: the worst 5% of frames carry ~80% of the squared error and
+    # are CENTROID COLLAPSE (the head hedges corners toward the cube center
+    # when orientation evidence is weak) — a regime seg-ratio buckets don't
+    # isolate, but a first-pass model's own errors do. Multiplies with the
+    # regime terms above when both are set.
+    sample_weights_path: str = ""
+
     # Out-of-frame corner loss handling, evaluated on POST-augmentation
     # targets (round-3 breakdown: any-corner-out frames at 21.8 px RMSE vs
     # 14.2 in-frame; the reference regresses invisible corners blindly,

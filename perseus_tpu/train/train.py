@@ -584,8 +584,10 @@ def _ema_apply(ema, snap, decay):
 
 def make_sample_weights(dataset: PrunedKeypointDataset, cfg: TrainConfig) -> np.ndarray | None:
     """Per-row epoch-sampling weights targeting the measured failure regimes
-    (TrainConfig.oversample_close / oversample_outframe); None = uniform."""
-    if not (cfg.oversample_close or cfg.oversample_outframe):
+    (TrainConfig.oversample_close / oversample_outframe) and/or the
+    checkpoint-measured per-row difficulty (cfg.sample_weights_path, from
+    scripts/compute_difficulty_weights.py); None = uniform."""
+    if not (cfg.oversample_close or cfg.oversample_outframe or cfg.sample_weights_path):
         return None
     seg = np.asarray(dataset.split.segmentation_ratios, np.float64)
     pc = np.asarray(dataset.pixel_coordinates)
@@ -600,7 +602,18 @@ def make_sample_weights(dataset: PrunedKeypointDataset, cfg: TrainConfig) -> np.
         + cfg.oversample_close * (seg > cfg.close_seg_threshold)
         + cfg.oversample_outframe * any_out
     )
-    return np.asarray(w, np.float64)
+    w = np.asarray(w, np.float64)
+    if cfg.sample_weights_path:
+        dw = np.load(cfg.sample_weights_path).astype(np.float64)
+        if dw.shape != (len(dataset),):
+            raise ValueError(
+                f"sample_weights_path rows {dw.shape} != dataset rows {len(dataset)} "
+                "— weights were computed against a different train split"
+            )
+        if dw.min() <= 0:
+            raise ValueError("difficulty weights must be positive")
+        w = w * dw
+    return w
 
 
 def maybe_initialize_distributed(cfg: TrainConfig) -> None:

@@ -140,6 +140,57 @@ def test_train_loop_spatial_oversample_ema(ds64, tmp_path):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def test_difficulty_sample_weights(ds64, tmp_path):
+    """sample_weights_path multiplies into the epoch-sampling weights and is
+    validated against the train split size."""
+    ds = PrunedKeypointDataset(KeypointDatasetConfig(dataset_path=ds64), train=True)
+    n = len(ds)
+    dw = np.ones(n)
+    dw[0] = 5.0
+    p = str(tmp_path / "w.npy")
+    np.save(p, dw)
+    w = train_mod.make_sample_weights(ds, _cfg(ds64, sample_weights_path=p))
+    assert w is not None and w[0] == 5.0 and w[1] == 1.0
+    # composes multiplicatively with the regime terms
+    w2 = train_mod.make_sample_weights(
+        ds, _cfg(ds64, sample_weights_path=p, oversample_outframe=1.0)
+    )
+    assert w2[0] >= w[0]
+    # wrong length -> hard error (stale weights from another split)
+    np.save(p, np.ones(n + 3))
+    with pytest.raises(ValueError, match="dataset rows"):
+        train_mod.make_sample_weights(ds, _cfg(ds64, sample_weights_path=p))
+
+
+def test_compute_difficulty_weights_script(ds64, tmp_path):
+    """End-to-end: train 1 epoch, score difficulty with the checkpoint,
+    weights load back into make_sample_weights."""
+    import runpy
+    import sys
+
+    cfg = _cfg(ds64, n_epochs=1, save_epochs=1)
+    result = train_mod.train(cfg)
+    run_dir = f"{train_mod.ROOT}/outputs/models/{result['run_id']}"
+    out = str(tmp_path / "dw.npy")
+    argv = sys.argv
+    sys.argv = [
+        "dw", "--dataset-path", ds64, "--checkpoint", run_dir,
+        "--output", out, "--batch-size", "8",
+    ]
+    try:
+        runpy.run_path(
+            f"{train_mod.ROOT}/scripts/compute_difficulty_weights.py", run_name="__main__"
+        )
+    finally:
+        sys.argv = argv
+    ds = PrunedKeypointDataset(KeypointDatasetConfig(dataset_path=ds64), train=True)
+    w = np.load(out)
+    assert w.shape == (len(ds),)
+    assert (w >= 1.0).all() and (w <= 8.0).all() and w.max() > 1.0
+    got = train_mod.make_sample_weights(ds, _cfg(ds64, sample_weights_path=out))
+    np.testing.assert_allclose(got, w)
+
+
 def test_outframe_loss_options_train(ds64):
     """outframe_corner_weight / outframe_clamp_px run end-to-end and train
     to a finite loss; weight=1 + clamp off is bit-identical to the default
