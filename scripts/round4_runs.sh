@@ -28,7 +28,7 @@ run() {  # run NAME CMD... — log, tolerate failure, continue
   echo "=== [$(date +%H:%M:%S)] $name rc=$?" | tee -a "$LOG/driver.log"
 }
 
-stages=${*:-profile pretrain abl_base abl_spatial abl_tail abl_pre final}
+stages=${*:-profile pretrain abl_base abl_spatial abl_tail abl_pre difficulty final}
 for s in $stages; do case $s in
   profile)
     run prof_full   python scripts/profile_train_step.py --output-dir outputs/profiles/r4_full --variant full
@@ -59,13 +59,23 @@ for s in $stages; do case $s in
       --output-dir outputs/models/abl_pre --head spatial --ema-decay 0.8 \
       --init-backbone outputs/models/pretrain_rot/final
     ;;
+  difficulty)
+    # hard-example weights from the 100-epoch abl_tail checkpoint: val
+    # analysis shows the error tail is centroid collapse not isolated by
+    # any metadata bucket — only a trained model's own errors select it
+    run difficulty python scripts/compute_difficulty_weights.py \
+      --dataset-path outputs/scale_run3/data_full/pruned/pruned.hdf5 \
+      --checkpoint outputs/models/abl_tail/final \
+      --output outputs/models/abl_tail/difficulty_weights.npy
+    ;;
   final)
     # lever choice reviewed by hand between stages; this default is the
     # full stack minus anything an ablation disproved
     run final python scripts/train_at_scale.py --epochs 300 $DATA $OP $EVAL \
       --output-dir outputs/models/scale_run --head spatial --ema-decay 0.9 \
-      --oversample-close 2.0 --oversample-outframe 1.0 \
-      --outframe-corner-weight 0.3 --outframe-clamp-px 32
+      --oversample-outframe 1.0 \
+      --outframe-corner-weight 0.3 --outframe-clamp-px 32 \
+      --sample-weights-path outputs/models/abl_tail/difficulty_weights.npy
     ;;
   *) echo "unknown stage $s";;
 esac; done

@@ -55,6 +55,8 @@ class ScaleRunConfig:
     oversample_outframe: float = 0.0
     outframe_corner_weight: float = 1.0
     outframe_clamp_px: float = -1.0
+    # per-row difficulty weights .npy (scripts/compute_difficulty_weights.py)
+    sample_weights_path: str = ""
     ema_decay: float = 0.0
     # Backbone-only init from a proxy-pretrained checkpoint
     # (scripts/pretrain_backbone.py) — the reference's fine-tune recipe.
@@ -250,6 +252,7 @@ def main() -> None:
         oversample_outframe=cfg.oversample_outframe,
         outframe_corner_weight=cfg.outframe_corner_weight,
         outframe_clamp_px=cfg.outframe_clamp_px,
+        sample_weights_path=cfg.sample_weights_path,
         ema_decay=cfg.ema_decay,
         init_backbone=cfg.init_backbone,
         plateau_patience=cfg.plateau_patience,
