@@ -198,6 +198,16 @@ class TrainConfig:
     outframe_corner_weight: float = 1.0
     outframe_clamp_px: float = -1.0
 
+    # Anti-hedging auxiliary loss. The measured catastrophic-tail failure is
+    # centroid collapse: under orientation uncertainty the Huber-optimal
+    # prediction shrinks every corner toward the centroid (pred/GT spread
+    # ratio 0.36 on bad frames vs 1.00 on good). This term penalizes the
+    # spread deficit directly — Huber on (per-corner distance from the
+    # predicted centroid) vs the same for GT, in normalized coords — which
+    # the plain coordinate loss under-weights by construction. 0 disables
+    # (reference parity, reference train.py:119 is coordinate Huber only).
+    spread_loss_weight: float = 0.0
+
     # Exponential moving average of params/batch_stats, updated once per
     # EPOCH (Polyak averaging at the epoch scale: decay^k windows the last
     # ~1/(1-decay) epochs). 0 disables. The EMA snapshot rides along in the

@@ -218,15 +218,28 @@ def make_train_step(
             target = jnp.clip(target, -1.0 - mm, 1.0 + mm)
         target = target.reshape(target.shape[0], -1)
 
+        def spread_loss(pred):
+            """Anti-hedging term (cfg.spread_loss_weight): Huber between the
+            predicted and true per-corner distances from their respective
+            centroids. Centroid collapse shrinks these distances uniformly,
+            so this term sees the failure at full strength while the
+            coordinate loss spreads it over 16 small residuals."""
+            p = pred.reshape(pred.shape[0], -1, 2)
+            t = target.reshape(target.shape[0], -1, 2)
+            dp = jnp.linalg.norm(p - jnp.mean(p, axis=1, keepdims=True), axis=-1)
+            dt = jnp.linalg.norm(t - jnp.mean(t, axis=1, keepdims=True), axis=-1)
+            return jnp.mean(optax.huber_loss(dp, dt, delta=1.0))
+
         def loss_fn(params):
             pred, new_stats = resnet.keypoint_cnn_apply(
                 params, state.batch_stats, images, train=True, compute_dtype=compute_dtype
             )
+            aux = cfg.spread_loss_weight * spread_loss(pred) if cfg.spread_loss_weight else 0.0
             if weights is None:
                 if corner_w is None:
-                    return smooth_l1_loss(pred, target), new_stats
+                    return smooth_l1_loss(pred, target) + aux, new_stats
                 per_coord = optax.huber_loss(pred, target, delta=1.0)
-                return jnp.mean(per_coord * corner_w), new_stats
+                return jnp.mean(per_coord * corner_w) + aux, new_stats
             # inverse-frequency example weighting (normalized so the loss
             # scale — and thus the LR recipe — matches the unweighted path)
             per_coord = optax.huber_loss(pred, target, delta=1.0)
@@ -238,7 +251,7 @@ def make_train_step(
             # restore E[w]=1 so the loss scale matches the unweighted recipe
             wnorm = jnp.minimum(wnorm, cfg.example_weight_clip)
             wnorm = wnorm / jnp.maximum(jnp.mean(wnorm), 1e-12)
-            return jnp.mean(per_example * wnorm), new_stats
+            return jnp.mean(per_example * wnorm) + aux, new_stats
 
         (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)

@@ -57,6 +57,7 @@ class ScaleRunConfig:
     outframe_clamp_px: float = -1.0
     # per-row difficulty weights .npy (scripts/compute_difficulty_weights.py)
     sample_weights_path: str = ""
+    spread_loss_weight: float = 0.0
     ema_decay: float = 0.0
     # Backbone-only init from a proxy-pretrained checkpoint
     # (scripts/pretrain_backbone.py) — the reference's fine-tune recipe.
@@ -253,6 +254,7 @@ def main() -> None:
         outframe_corner_weight=cfg.outframe_corner_weight,
         outframe_clamp_px=cfg.outframe_clamp_px,
         sample_weights_path=cfg.sample_weights_path,
+        spread_loss_weight=cfg.spread_loss_weight,
         ema_decay=cfg.ema_decay,
         init_backbone=cfg.init_backbone,
         plateau_patience=cfg.plateau_patience,

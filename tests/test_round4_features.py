@@ -207,6 +207,11 @@ def test_outframe_loss_options_train(ds64):
         _cfg(ds64, n_epochs=1, outframe_corner_weight=0.25, outframe_clamp_px=16.0)
     )
     assert np.isfinite(r_w["final_train_loss"])
+    # spread (anti-hedging) aux loss trains and strictly raises the total
+    # loss for an imperfect model
+    r_s = train_mod.train(_cfg(ds64, n_epochs=1, spread_loss_weight=0.5))
+    assert np.isfinite(r_s["final_train_loss"])
+    assert r_s["train_loss_history"][0] > r_default["train_loss_history"][0]
 
 
 def test_outframe_corner_weight_downweights_loss():
