@@ -629,6 +629,22 @@ def make_sample_weights(dataset: PrunedKeypointDataset, cfg: TrainConfig) -> np.
     return w
 
 
+def _device_local_rows(
+    n_dev: int, n_local: int, n_dataset: int, subset: np.ndarray | None
+) -> np.ndarray:
+    """Dataset row held at shard-local position (d, i) of a device-resident
+    split: _device_dataset lays rows out as order[(d*n_local + i)] with
+    order = arange(n_dev*n_local) % n_resident (wrap-pad), optionally mapped
+    through ``subset``. The weighted epoch draw needs this to look up each
+    shard's sampling probabilities; pinned against _device_dataset's actual
+    layout in tests/test_round4_features.py::test_device_local_rows_layout."""
+    n_res = len(subset) if subset is not None else n_dataset
+    rows = (np.arange(n_dev)[:, None] * n_local + np.arange(n_local)[None, :]) % n_res
+    if subset is not None:
+        rows = np.asarray(subset)[rows]
+    return rows
+
+
 def maybe_initialize_distributed(cfg: TrainConfig) -> None:
     """Multi-host bring-up (the reference's TCP rendezvous / DDP init role,
     reference: train.py:122-152). Call before any device access. With
@@ -898,16 +914,7 @@ def train(cfg: TrainConfig) -> dict:
             # shard-local per-epoch permutations (the DistributedSampler
             # reshuffle, one independent stream per shard)
             if sample_w is not None:
-                # weighted draw WITH replacement: shard-local position
-                # (d, i) holds dataset row order[(d*n_local+i) % n_resident]
-                # (the _device_dataset wrap-pad layout), so each shard's
-                # sampling probabilities come from its own resident rows
-                n_res = len(dd_cur_sub) if dd_cur_sub is not None else len(train_dataset)
-                rows = (
-                    np.arange(n_dev)[:, None] * n_local + np.arange(n_local)[None, :]
-                ) % n_res
-                if dd_cur_sub is not None:
-                    rows = np.asarray(dd_cur_sub)[rows]
+                rows = _device_local_rows(n_dev, n_local, len(train_dataset), dd_cur_sub)
                 probs = sample_w[rows]
                 probs /= probs.sum(axis=1, keepdims=True)
                 perms = np.stack(

@@ -140,6 +140,27 @@ def test_train_loop_spatial_oversample_ema(ds64, tmp_path):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def test_device_local_rows_layout(ds64):
+    """_device_local_rows (the weighted-draw row lookup) must match the
+    actual _device_dataset upload layout: coords of shard d row i equal the
+    dataset's coords at the predicted row — for whole splits, non-divisible
+    wrap-padded splits, and row subsets."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = train_mod.make_mesh(n_devices=8)
+    cfg = _cfg(ds64)
+    ds = PrunedKeypointDataset(cfg.dataset_config, train=True)
+    for subset in (None, np.array([3, 1, 4, 1, 5, 9, 2, 6, 5, 3])):
+        dd = train_mod._device_dataset(ds, cfg, mesh, use_transplant=False, subset=subset)
+        d_imgs, d_crds, _, _, n_local = dd
+        rows = train_mod._device_local_rows(8, n_local, len(ds), subset)
+        got = np.asarray(d_crds).reshape(8, n_local, 8, 2)
+        want = np.stack([ds.batch(rows[d])["pixel_coordinates"] for d in range(8)])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        for a in dd[:3]:
+            a.delete()
+
+
 def test_difficulty_sample_weights(ds64, tmp_path):
     """sample_weights_path multiplies into the epoch-sampling weights and is
     validated against the train split size."""
