@@ -85,6 +85,14 @@ class VideoConfig:
     # _simulate_bodies) — tossed distractors can't interpenetrate the cube
     object_collisions: bool = True
 
+    # Camera-sensor realism post-process (_apply_camera_effects): per-video
+    # randomized white balance, gamma, exposure, vignette, and shot-noise —
+    # the optical/sensor part of the reference's Cycles-vs-real gap (its
+    # renders pass through Blender's filmic tonemap + real-camera capture at
+    # deploy time). Label-safe (no pixel is displaced). Default OFF so the
+    # round-3/4 at-scale operating point stays bit-comparable.
+    camera_effects: bool = False
+
     # Domain-randomization style family. "train" draws materials / lighting /
     # background textures from the training ranges; "holdout" draws from
     # DISJOINT ranges (rougher->shinier materials, low sun, striped darker
@@ -371,6 +379,31 @@ def _simulate_bodies(
     return positions, rotations
 
 
+def _apply_camera_effects(rgb: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Per-video camera/sensor model over (T, H, W, 3) renders in [0, 1]:
+    white-balance gains, gamma (film response), exposure, radial vignette,
+    and per-frame Gaussian shot noise. Every effect is photometric only —
+    no pixel moves, so labels/segmentation/depth stay exact. Ranges are
+    mild: the goal is the optics/sensor texture real captures have and the
+    rasterizer's clean output lacks (the reference leans on Cycles' filmic
+    tonemap for the same effect, custom_renderer.py:8-29)."""
+    t, h, w, _ = rgb.shape
+    wb = rng.uniform(0.92, 1.08, size=3)
+    gamma = rng.uniform(0.85, 1.2)
+    exposure = rng.uniform(0.85, 1.2)
+    vig = rng.uniform(0.0, 0.35)
+    noise_sigma = rng.uniform(0.003, 0.015)
+
+    yy, xx = np.meshgrid(np.linspace(-1, 1, h), np.linspace(-1, 1, w), indexing="ij")
+    r2 = (xx * xx + yy * yy) / 2.0  # 0 center -> 1 corner
+    vignette = (1.0 - vig * r2).astype(np.float32)[None, :, :, None]
+
+    out = np.clip(rgb * wb[None, None, None, :], 0.0, 1.0) ** gamma
+    out = out * exposure * vignette
+    out = out + rng.normal(0.0, noise_sigma, size=out.shape).astype(np.float32)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
+
+
 def _simulate(cfg: VideoConfig, rng: np.random.Generator):
     t, dt = cfg.frames, 1.0 / cfg.fps
 
@@ -557,6 +590,8 @@ def generate_one_video(cfg: VideoConfig, job_id: str | None = None) -> str:
             ground_texture=ground_tex,
         )
         rgb, depth, seg = np.asarray(rgb), np.asarray(depth), np.asarray(seg)
+        if cfg.camera_effects:
+            rgb = _apply_camera_effects(rgb, rng)
 
         for i in range(t):
             schema.save_rgb_png(os.path.join(job_path, f"rgba_{i:05d}.png"), rgb[i])

@@ -207,6 +207,43 @@ def test_ground_contact_keeps_bodies_above_floor():
     assert pos_b[-1][2] < -5.0  # ballistic falls through
 
 
+def test_camera_effects_photometric_only(tmp_path):
+    """camera_effects must change ONLY the RGB files: depth, segmentation,
+    and metadata (hence labels) are bit-identical to the effects-off render
+    of the same seed, RGB stays in [0, 1], and the default stays off."""
+    import json
+    import os
+
+    from perseus_tpu.data import schema
+    from perseus_tpu.datagen.generate import VideoConfig, generate_one_video
+
+    base = dict(resolution=48, frames=6, n_static_range=(1, 1),
+                n_dynamic_range=(1, 1), max_objects=5, seed=11)
+    off = generate_one_video(VideoConfig(job_dir=str(tmp_path / "off"), **base), job_id="j")
+    on = generate_one_video(
+        VideoConfig(job_dir=str(tmp_path / "on"), camera_effects=True, **base), job_id="j"
+    )
+    with open(os.path.join(off, "metadata.json")) as f, open(
+        os.path.join(on, "metadata.json")
+    ) as g:
+        assert json.load(f) == json.load(g)
+    changed = 0
+    for i in range(6):
+        np.testing.assert_array_equal(
+            schema.load_depth_tiff(os.path.join(off, f"depth_{i:05d}.tiff")),
+            schema.load_depth_tiff(os.path.join(on, f"depth_{i:05d}.tiff")),
+        )
+        np.testing.assert_array_equal(
+            schema.load_segmentation_png(os.path.join(off, f"segmentation_{i:05d}.png")),
+            schema.load_segmentation_png(os.path.join(on, f"segmentation_{i:05d}.png")),
+        )
+        a = schema.load_rgb_png(os.path.join(off, f"rgba_{i:05d}.png"))
+        b = schema.load_rgb_png(os.path.join(on, f"rgba_{i:05d}.png"))
+        assert b.min() >= 0.0 and b.max() <= 1.0
+        changed += int(not np.array_equal(a, b))
+    assert changed == 6  # the effects actually did something on every frame
+
+
 def test_object_collisions_momentum_and_separation():
     """Head-on equal-mass impact in zero gravity, no ground: total momentum
     is conserved through the impulse and the bodies never interpenetrate
