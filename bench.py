@@ -337,6 +337,7 @@ def read_scale_run_metrics() -> dict:
 
 PHASE_BUDGET_S = {
     # Cold remote compiles can take minutes; warm repeats are fast.
+    "preflight": 240.0,
     "detector": 900.0,
     "smoother": 600.0,
     "streaming": 600.0,
@@ -348,6 +349,11 @@ def _run_phase_inline(name: str) -> dict:
     """Executes one phase in-process and returns its result fields."""
     if os.environ.get("PERSEUS_BENCH_FORCE_FAIL") in ("all", name):
         raise RuntimeError(f"forced failure (PERSEUS_BENCH_FORCE_FAIL) in phase {name}")
+    if name == "preflight":
+        # backend liveness: device list + one tiny executed op
+        x = jnp.ones((128, 128), jnp.bfloat16)
+        (x @ x).block_until_ready()
+        return {"ok": True, "devices": len(jax.devices())}
     if name == "detector":
         return {"fps": bench_detector()}
     if name == "smoother":
@@ -446,9 +452,22 @@ def main() -> None:
     global_budget = float(os.environ.get("PERSEUS_BENCH_GLOBAL_BUDGET_S", "2700"))
     deadline = time.perf_counter() + global_budget
     results: dict = {}
+    # A kill at ANY point must leave a parseable line in the stdout tail.
+    print(json.dumps(_assemble_result(results)), flush=True)
     try:
+        # Backend liveness first: when the TPU tunnel is down every phase
+        # would burn its full watchdog budget twice (round-3 failure mode,
+        # ~50 min of guaranteed timeouts). A dead preflight caps each phase
+        # at one short attempt instead.
+        alive = _run_phase_subprocess("preflight", attempts=1, deadline=deadline)
+        if not alive:
+            print("[bench] preflight failed: backend down — shrinking phase "
+                  "budgets to one 240s attempt each", file=sys.stderr, flush=True)
+            for k in PHASE_BUDGET_S:
+                PHASE_BUDGET_S[k] = 240.0
+        attempts = 2 if alive else 1
         for name in ("detector", "smoother", "streaming", "train"):
-            results[name] = _run_phase_subprocess(name, deadline=deadline)
+            results[name] = _run_phase_subprocess(name, attempts=attempts, deadline=deadline)
             # Cumulative emit: if the driver kills us mid-run, the tail still
             # carries a parseable perf record for the phases that finished.
             print(json.dumps(_assemble_result(results)), flush=True)
