@@ -23,8 +23,10 @@ mkdir -p "$LOG"
 
 run() {  # run NAME CMD... — log, tolerate failure, continue
   local name=$1; shift
+  local budget=7200
+  [ "$name" = final ] && budget=14400  # 300 epochs + staging + holdout + pose
   echo "=== [$(date +%H:%M:%S)] $name: $*" | tee -a "$LOG/driver.log"
-  timeout 7200 "$@" > "$LOG/$name.log" 2>&1
+  timeout "$budget" "$@" > "$LOG/$name.log" 2>&1
   echo "=== [$(date +%H:%M:%S)] $name rc=$?" | tee -a "$LOG/driver.log"
 }
 
