@@ -238,7 +238,16 @@ def main() -> None:
     from perseus_tpu.train import train as tm
     from perseus_tpu.train.config import TrainConfig
 
+    # the spatial head's fc fan-in is resolution-dependent: derive it from
+    # the actual data rather than trusting TrainConfig's 256 default
+    res_probe = PrunedKeypointDataset(
+        KeypointDatasetConfig(dataset_path=pruned), train=True, cache=False
+    )
+    input_resolution = int(res_probe.H)
+    del res_probe
+
     tcfg = TrainConfig(
+        input_resolution=input_resolution,
         batch_size=cfg.batch_size,
         learning_rate=cfg.learning_rate,
         n_epochs=cfg.epochs,
