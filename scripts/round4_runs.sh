@@ -30,7 +30,14 @@ run() {  # run NAME CMD... — log, tolerate failure, continue
   echo "=== [$(date +%H:%M:%S)] $name rc=$?" | tee -a "$LOG/driver.log"
 }
 
-stages=${*:-profile pretrain abl_base abl_spatial abl_tail abl_pre difficulty final}
+# Default sequence is time-budgeted for a mid-round TPU recovery: profile
+# (VERDICT item 4), pretrain + the clean scratch-vs-init pair (item 3),
+# then the final 300-epoch run (item 2) using difficulty weights that were
+# precomputed on CPU from the round-3 checkpoint
+# (outputs/models/scale_run/difficulty_weights.npy). The fuller sequence:
+#   bash scripts/round4_runs.sh profile pretrain abl_base abl_spatial \
+#        abl_tail abl_pre difficulty final
+stages=${*:-profile pretrain abl_spatial abl_pre final}
 for s in $stages; do case $s in
   profile)
     run prof_full   python scripts/profile_train_step.py --output-dir outputs/profiles/r4_full --variant full
@@ -73,11 +80,16 @@ for s in $stages; do case $s in
   final)
     # lever choice reviewed by hand between stages; this default is the
     # full stack minus anything an ablation disproved
+    W=outputs/models/abl_tail/difficulty_weights.npy
+    [ -f "$W" ] || W=outputs/models/scale_run/difficulty_weights.npy
+    PRE=outputs/models/pretrain_rot/final
+    INIT=""
+    [ -d "$PRE" ] && INIT="--init-backbone $PRE"
     run final python scripts/train_at_scale.py --epochs 300 $DATA $OP $EVAL \
       --output-dir outputs/models/scale_run --head spatial --ema-decay 0.9 \
       --oversample-outframe 1.0 \
       --outframe-corner-weight 0.3 --outframe-clamp-px 32 \
-      --sample-weights-path outputs/models/abl_tail/difficulty_weights.npy
+      $INIT --sample-weights-path "$W"
     ;;
   *) echo "unknown stage $s";;
 esac; done
