@@ -39,7 +39,13 @@ class ProfileConfig:
 
 
 def build_step(cfg: ProfileConfig):
-    """The bench step (or a reduced variant), plus its example inputs."""
+    """The bench step (or a reduced variant), plus its example inputs.
+
+    The batch tensors are returned as explicit arguments (NOT closed over):
+    a closure constant is baked into the HLO program as a literal, and a
+    batch-256 image tensor (~670 MB f32) overflows the axon tunnel's
+    remote-compile request-body limit (observed as HTTP 413 on-chip).
+    """
     from perseus_tpu.augment.pipeline import KeypointAugmentation
     from perseus_tpu.models import resnet
     from perseus_tpu.train import train as tm
@@ -57,11 +63,11 @@ def build_step(cfg: ProfileConfig):
         aug = KeypointAugmentation(tcfg.augmentation_config, train=True)
         step = tm.make_train_step(tcfg, optimizer, aug)
 
-        def run(st, i):
-            st2, loss = step(st, images, coords, jax.random.key(i, impl="rbg"))
+        def run(st, i, imgs, crds):
+            st2, loss = step(st, imgs, crds, jax.random.key(i, impl="rbg"))
             return st2, loss
 
-        return run, state
+        return run, state, (images, coords)
 
     # fwd / fwdbwd skip augmentation: pre-sliced channels, fixed targets
     x = images[..., :4]
@@ -69,32 +75,32 @@ def build_step(cfg: ProfileConfig):
 
     if cfg.variant == "fwd":
 
-        def run(st, i):
+        def run(st, i, xb, tgt):
             logits, _ = resnet.keypoint_cnn_apply(
-                st.params, st.batch_stats, x + i * 0.0, train=True,
+                st.params, st.batch_stats, xb + i * 0.0, train=True,
                 compute_dtype=jnp.bfloat16,
             )
-            return st, jnp.mean((logits - target) ** 2)
+            return st, jnp.mean((logits - tgt) ** 2)
 
-        return run, state
+        return run, state, (x, target)
 
     if cfg.variant == "fwdbwd":
 
-        def loss_fn(params, st, i):
+        def loss_fn(params, st, i, xb, tgt):
             logits, new_stats = resnet.keypoint_cnn_apply(
-                params, st.batch_stats, x + i * 0.0, train=True,
+                params, st.batch_stats, xb + i * 0.0, train=True,
                 compute_dtype=jnp.bfloat16,
             )
-            return tm.smooth_l1_loss(logits, target), new_stats
+            return tm.smooth_l1_loss(logits, tgt), new_stats
 
-        def run(st, i):
+        def run(st, i, xb, tgt):
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                st.params, st, i
+                st.params, st, i, xb, tgt
             )
             # consume grads without the optimizer
             return st, loss + sum(jnp.sum(g) * 0.0 for g in jax.tree.leaves(grads))
 
-        return run, state
+        return run, state, (x, target)
 
     raise ValueError(f"unknown variant {cfg.variant!r}")
 
@@ -167,11 +173,11 @@ def main() -> None:
     from perseus_tpu.configs.cli import cli
 
     cfg = cli(ProfileConfig)
-    run, state = build_step(cfg)
+    run, state, batch = build_step(cfg)
     step = jax.jit(run, donate_argnums=0)
 
     t0 = time.time()
-    state, loss = step(state, jnp.int32(0))
+    state, loss = step(state, jnp.int32(0), *batch)
     jax.block_until_ready(loss)
     print(f"[profile] compiled + warm step in {time.time() - t0:.1f}s "
           f"(loss {float(loss):.4f})", flush=True)
@@ -180,7 +186,7 @@ def main() -> None:
     jax.profiler.start_trace(cfg.output_dir)
     t0 = time.time()
     for i in range(1, cfg.steps + 1):
-        state, loss = step(state, jnp.int32(i))
+        state, loss = step(state, jnp.int32(i), *batch)
     jax.block_until_ready(loss)
     wall = time.time() - t0
     jax.profiler.stop_trace()
