@@ -323,12 +323,14 @@ def _chain_planes(planes: list[jnp.ndarray], plasma, fields, sv):
 def _kernel(scalars_ref, img_ref, plasma_ref, fields_ref, out_ref):
     i = pl.program_id(0)
     c = img_ref.shape[1]
-    planes = [img_ref[0, k] for k in range(c)]
+    # storage dtype may be bf16 (halves the HBM traffic, which is what this
+    # kernel is bound by); all math runs in f32 in VMEM, cast at load/store
+    planes = [img_ref[0, k].astype(jnp.float32) for k in range(c)]
     sv = [scalars_ref[i, k] for k in range(N_SCALARS)]
     fields = [fields_ref[0, k] for k in range(3)]
     out = _chain_planes(planes, plasma_ref[0], fields, sv)
     for k in range(c):
-        out_ref[0, k] = out[k]
+        out_ref[0, k] = out[k].astype(out_ref.dtype)
 
 
 def _warp_planes(planes, rho_t, gam, s, w):
@@ -389,13 +391,13 @@ def _kernel_warp(scalars_ref, img_ref, rho_ref, gam_ref, plasma_ref, fields_ref,
     _, _, h, w = out_ref.shape
     s = img_ref.shape[2]
 
-    planes = [img_ref[0, ci] for ci in range(c)]
+    planes = [img_ref[0, ci].astype(jnp.float32) for ci in range(c)]
     planes = _warp_planes(planes, rho_ref[0], gam_ref[0], s, w)
     sv = [scalars_ref[i, k] for k in range(N_SCALARS)]
     fields = [fields_ref[0, k] for k in range(3)]
     out = _chain_planes(planes, plasma_ref[0], fields, sv)
     for k in range(c):
-        out_ref[0, k] = out[k]
+        out_ref[0, k] = out[k].astype(out_ref.dtype)
 
 
 def _make_ultra_kernel(lb: float, ub: float):
@@ -412,8 +414,10 @@ def _make_ultra_kernel(lb: float, ub: float):
         _, _, h, w = out_ref.shape
         s = img_ref.shape[2]
 
-        planes = [img_ref[0, ci] for ci in range(c)]
-        donor = [donor_img_ref[0, ci] for ci in range(c)]
+        # bf16 storage halves this kernel's HBM traffic (its bound); all
+        # VMEM math stays f32 via load casts, with one cast at store
+        planes = [img_ref[0, ci].astype(jnp.float32) for ci in range(c)]
+        donor = [donor_img_ref[0, ci].astype(jnp.float32) for ci in range(c)]
         planes = _transplant_planes(planes, donor, lb, ub)
         # the Catmull-Smith swap prologue, applied in VMEM after the
         # transplant (acceptor and donor must composite in the ORIGINAL
@@ -425,7 +429,7 @@ def _make_ultra_kernel(lb: float, ub: float):
         fields = [fields_ref[0, k] for k in range(3)]
         out = _chain_planes(planes, plasma_ref[0], fields, sv)
         for k in range(c):
-            out_ref[0, k] = out[k]
+            out_ref[0, k] = out[k].astype(out_ref.dtype)
 
     return kernel
 
@@ -440,7 +444,8 @@ def fused_apply(images: jnp.ndarray, params: dict, interpret: bool = False) -> j
     :func:`sample_fused_params`.
     """
     b, h, w, c = images.shape
-    params = jax.tree.map(lambda x: x.astype(images.dtype), params)
+    # scalars/fields stay f32 even for bf16 images; the kernel computes f32
+    params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
     planes = jnp.moveaxis(images, -1, 1)  # (B, C, H, W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -497,7 +502,7 @@ def fused_warp_apply(
     rho_t, gam = jax.lax.optimization_barrier((rho_t, gam))
 
     params = jax.tree.map(lambda x: x.astype(f32), params)
-    planes = jnp.moveaxis(images_sw.astype(f32), -1, 1)  # (B, C, H, W)
+    planes = jnp.moveaxis(images_sw, -1, 1)  # (B, C, H, W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -514,7 +519,7 @@ def fused_warp_apply(
     out = pl.pallas_call(
         _kernel_warp,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, c, h, w), f32),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), images_sw.dtype),
         # warp index/weight planes + C channel intermediates exceed the
         # default 16 MB scoped-vmem stack at 256x256x5; v5e has 128 MB VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
@@ -525,7 +530,7 @@ def fused_warp_apply(
 
 @functools.partial(jax.jit, static_argnames=("lb", "ub", "interpret"))
 def fused_ultra_apply(
-    images: jnp.ndarray,  # (B, H, W, C=5) float32, ORIGINAL orientation
+    images: jnp.ndarray,  # (B, H, W, C=5) f32 or bf16, ORIGINAL orientation
     donor_idx: jnp.ndarray,  # (B,) int32 donor element per image
     swap: jnp.ndarray,  # (B,) bool two-pass swap flags (ops._two_pass_params)
     warp_params: jnp.ndarray,  # (B, 6): i00, i01, t0, p, q, r (swap-adjusted)
@@ -560,7 +565,9 @@ def fused_ultra_apply(
     scalars = jnp.concatenate(
         [params["scalars"], swap.astype(f32)[:, None]], axis=-1
     )  # (B, N_SCALARS + 1)
-    planes = jnp.moveaxis(images.astype(f32), -1, 1)  # (B, C, H, W)
+    # images may be bf16 (the device-resident dataset's storage dtype):
+    # the kernel loads/stores in the storage dtype and computes f32 in VMEM
+    planes = jnp.moveaxis(images, -1, 1)  # (B, C, H, W)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # scalars + donor_idx
@@ -578,7 +585,7 @@ def fused_ultra_apply(
     out = pl.pallas_call(
         _make_ultra_kernel(lb, ub),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, c, h, w), f32),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), images.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
@@ -596,14 +603,15 @@ def fused_ultra_apply(
 
 def reference_apply(images: jnp.ndarray, params: dict) -> jnp.ndarray:
     """Pure-jnp oracle: vmapped `_chain_planes`, bit-comparable with the
-    kernel."""
-    params = jax.tree.map(lambda x: x.astype(images.dtype), params)
+    kernel (which, like this oracle, upcasts storage-dtype planes to f32,
+    computes in f32, and casts back at the output)."""
+    params = jax.tree.map(lambda x: x.astype(jnp.float32), params)
     c = images.shape[-1]
 
     def one(img, plasma, fields, scalars):
-        planes = [img[..., k] for k in range(c)]
+        planes = [img[..., k].astype(jnp.float32) for k in range(c)]
         sv = [scalars[k] for k in range(N_SCALARS)]
         out = _chain_planes(planes, plasma, [fields[k] for k in range(3)], sv)
-        return jnp.stack(out, axis=-1)
+        return jnp.stack(out, axis=-1).astype(images.dtype)
 
     return jax.vmap(one)(images, params["plasma"], params["fields"], params["scalars"])

@@ -133,6 +133,15 @@ class KeypointAugmentation:
             pixel_coordinates = pixel_coordinates[None]
         b, h, w, c = images.shape
 
+        # Storage dtype may be bf16 (device-resident dataset). The fused
+        # kernels upcast to f32 in VMEM and cast back at the store; mirror
+        # that on the unfused/val paths — compute f32, one cast at the end —
+        # so both paths quantize at the same two points (input, output).
+        in_dtype = images.dtype
+        upcast = in_dtype != jnp.float32 and not (self.train and self.fused)
+        if upcast:
+            images = images.astype(jnp.float32)
+
         leading = pixel_coordinates.shape[:-1]
         coords = pixel_coordinates.reshape(b, -1, 2)
 
@@ -266,6 +275,8 @@ class KeypointAugmentation:
                 images = images.at[..., DEPTH_CHANNEL_INDEX].set(depth)
 
         coords = normalize_pixel_coordinates(coords, h, w)
+        if upcast:
+            images = images.astype(in_dtype)
         # the reference returns coords in the caller's leading shape (and
         # keeps the batch dim it may have added); (B, K, 2) in -> (B, K, 2)
         # out, (B, 2K) in -> (B, 2K) out (reference: augmentations.py:483-488)

@@ -36,6 +36,9 @@ class ProfileConfig:
     steps: int = 12  # traced steps after warmup
     variant: str = "full"  # full | fwd | fwdbwd
     top_k: int = 25
+    # storage dtype of the incoming batch — "bfloat16" measures the
+    # device-resident-dataset path (TrainConfig.device_data_dtype)
+    input_dtype: str = "float32"
 
 
 def build_step(cfg: ProfileConfig):
@@ -55,6 +58,7 @@ def build_step(cfg: ProfileConfig):
     tcfg = TrainConfig(batch_size=b, in_channels=4, amp=True)
     rng = np.random.default_rng(3)
     images = jnp.asarray(rng.uniform(0, 1, (b, 256, 256, 5)).astype(np.float32))
+    images = images.astype(jnp.dtype(cfg.input_dtype))
     coords = jnp.asarray(rng.uniform(0, 255, (b, 8, 2)).astype(np.float32))
     optimizer = tm.make_optimizer(tcfg)
     state = tm.init_state(tcfg, optimizer, tm.make_mesh(n_devices=1))

@@ -184,3 +184,21 @@ def test_fused_ultra_kernel_matches_sequential():
         images, donor_idx, swap, jnp.stack(parts, axis=-1), p, interpret=True
     )
     np.testing.assert_allclose(np.asarray(combined), np.asarray(expected), atol=1e-5)
+
+
+def test_fused_apply_bf16_matches_f32_oracle():
+    """bf16 storage I/O: the kernel upcasts planes to f32 in VMEM and casts
+    once at the store, so its output must equal the f32 oracle run on the
+    same (bf16-quantized) inputs, quantized to bf16 at the end."""
+    rng = np.random.default_rng(11)
+    images = jnp.asarray(
+        rng.uniform(0, 1, (2, 32, 32, 5)).astype(np.float32)
+    ).astype(jnp.bfloat16)
+    cfg = AugmentationConfig()
+    p = sample_fused_params(jax.random.key(5), cfg, 2, 32, 32, 5)
+    out = fused_apply(images, p, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = reference_apply(images, p)
+    np.testing.assert_array_equal(
+        np.asarray(out.astype(jnp.float32)), np.asarray(ref.astype(jnp.float32))
+    )
