@@ -250,7 +250,11 @@ def bench_train_step() -> float:
     b = 256
     cfg = TrainConfig(batch_size=b, in_channels=4, amp=True)
     rng = np.random.default_rng(3)
+    # bf16 batch = the production path: the at-scale runs keep the dataset
+    # device-resident in bf16 (TrainConfig.device_data_dtype) and the fused
+    # augmentation kernel loads/stores that dtype (f32 math in VMEM)
     images = jnp.asarray(rng.uniform(0, 1, (b, 256, 256, 5)).astype(np.float32))
+    images = images.astype(jnp.bfloat16)
     coords = jnp.asarray(rng.uniform(0, 255, (b, 8, 2)).astype(np.float32))
     optimizer = tm.make_optimizer(cfg)
     state = tm.init_state(cfg, optimizer, tm.make_mesh(n_devices=1))
@@ -263,7 +267,8 @@ def bench_train_step() -> float:
         def body(carry, i):
             st, img = carry
             st2, loss = step(st, img, crd, jax.random.fold_in(key, i))
-            return (st2, img + loss * 1e-9), loss  # data dependence
+            dep = (loss * 1e-9).astype(img.dtype)  # keep the bf16 carry dtype
+            return (st2, img + dep), loss  # data dependence
         (st, _), losses = jax.lax.scan(body, (st, img), jnp.arange(k))
         return jnp.sum(losses)
 

@@ -79,9 +79,12 @@ for s in $stages; do case $s in
     ;;
   final)
     # lever choice reviewed by hand between stages; this default is the
-    # full stack minus anything an ablation disproved
+    # full stack minus anything an ablation disproved. Difficulty weights
+    # must be recomputed against the CURRENT pruned split (row count/order
+    # differ per datagen code version); round-3's .npy would be rejected by
+    # make_sample_weights' length check.
     W=outputs/models/abl_tail/difficulty_weights.npy
-    [ -f "$W" ] || W=outputs/models/scale_run/difficulty_weights.npy
+    [ -f "$W" ] || W=outputs/scale_run3/difficulty_weights_r3ckpt.npy
     PRE=outputs/models/pretrain_rot/final
     INIT=""
     [ -d "$PRE" ] && INIT="--init-backbone $PRE"
