@@ -44,8 +44,11 @@ class PretrainConfig:
     weight_decay: float = 1e-2
     in_channels: int = 4
     # cap the device-resident image pool (rows drawn uniformly once);
-    # rotation pretext saturates long before it needs every frame
-    max_rows: int = 20000
+    # rotation pretext saturates long before it needs every frame. 12k rows
+    # (6.3 GB bf16) still OOMed on-chip once training buffers joined it, so
+    # match the keypoint run's proven device budget (~9.5k rows): 8k rows
+    # at bf16 RGBD = 4.2 GB
+    max_rows: int = 8000
     data_dtype: str = "bfloat16"
     seed: int = 0
 
@@ -92,8 +95,12 @@ def main() -> None:
             labels.append(jnp.full((q,), k, jnp.int32))
         return jnp.concatenate(parts), jnp.concatenate(labels)
 
+    # `images` MUST be an explicit argument: a closed-over device array is
+    # captured as a CONSTANT at lowering, and materializing the multi-GB
+    # pool for the compile payload exhausts the backend (observed on-chip:
+    # "captured during lowering (10.49GB)" -> RESOURCE_EXHAUSTED).
     @jax.jit
-    def train_step(params, stats, opt_state, idx, key):
+    def train_step(images, params, stats, opt_state, idx, key):
         img = jnp.take(images, idx, axis=0).astype(jnp.float32)
         img, labels = rot_batch(img)
         # shuffle within batch so BN doesn't see label-sorted halves
@@ -126,7 +133,7 @@ def main() -> None:
             idx = jnp.asarray(order[s * cfg.batch_size : (s + 1) * cfg.batch_size])
             key = jax.random.key(epoch * steps_per_epoch + s, impl="rbg")
             params, stats, opt_state, loss, acc = train_step(
-                params, stats, opt_state, idx, key
+                images, params, stats, opt_state, idx, key
             )
             losses.append(loss)
             accs.append(acc)

@@ -64,9 +64,13 @@ for s in $stages; do case $s in
       --outframe-corner-weight 0.3 --outframe-clamp-px 32
     ;;
   abl_pre)
-    run abl_pre python scripts/train_at_scale.py $ABL \
-      --output-dir outputs/models/abl_pre --head spatial --ema-decay 0.8 \
-      --init-backbone outputs/models/pretrain_rot/final
+    if [ -d outputs/models/pretrain_rot/final ]; then
+      run abl_pre python scripts/train_at_scale.py $ABL \
+        --output-dir outputs/models/abl_pre --head spatial --ema-decay 0.8 \
+        --init-backbone outputs/models/pretrain_rot/final
+    else
+      echo "=== abl_pre skipped: no pretrain checkpoint" | tee -a "$LOG/driver.log"
+    fi
     ;;
   difficulty)
     # hard-example weights from the 100-epoch abl_tail checkpoint: val
@@ -77,6 +81,14 @@ for s in $stages; do case $s in
       --checkpoint outputs/models/abl_tail/final \
       --output outputs/models/abl_tail/difficulty_weights.npy
     ;;
+  difficulty_spatial)
+    # same, from the abl_spatial checkpoint (the default sequence skips
+    # abl_tail to fit a mid-round TPU window)
+    run difficulty python scripts/compute_difficulty_weights.py \
+      --dataset-path outputs/scale_run3/data_full/pruned/pruned.hdf5 \
+      --checkpoint outputs/models/abl_spatial/final \
+      --output outputs/scale_run3/difficulty_weights_abl.npy
+    ;;
   final)
     # lever choice reviewed by hand between stages; this default is the
     # full stack minus anything an ablation disproved. Difficulty weights
@@ -84,7 +96,9 @@ for s in $stages; do case $s in
     # differ per datagen code version); round-3's .npy would be rejected by
     # make_sample_weights' length check.
     W=outputs/models/abl_tail/difficulty_weights.npy
-    [ -f "$W" ] || W=outputs/scale_run3/difficulty_weights_r3ckpt.npy
+    [ -f "$W" ] || W=outputs/scale_run3/difficulty_weights_abl.npy
+    WARG=""
+    [ -f "$W" ] && WARG="--sample-weights-path $W"
     PRE=outputs/models/pretrain_rot/final
     INIT=""
     [ -d "$PRE" ] && INIT="--init-backbone $PRE"
@@ -92,7 +106,7 @@ for s in $stages; do case $s in
       --output-dir outputs/models/scale_run --head spatial --ema-decay 0.9 \
       --oversample-outframe 1.0 \
       --outframe-corner-weight 0.3 --outframe-clamp-px 32 \
-      $INIT --sample-weights-path "$W"
+      $INIT $WARG
     ;;
   *) echo "unknown stage $s";;
 esac; done

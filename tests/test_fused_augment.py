@@ -199,6 +199,12 @@ def test_fused_apply_bf16_matches_f32_oracle():
     out = fused_apply(images, p, interpret=True)
     assert out.dtype == jnp.bfloat16
     ref = reference_apply(images, p)
-    np.testing.assert_array_equal(
-        np.asarray(out.astype(jnp.float32)), np.asarray(ref.astype(jnp.float32))
+    # 1-ulp tolerance: the two paths upcast at the same points but compile
+    # in different fusion contexts, so f32 intermediates may differ by one
+    # fma contraction, which the bf16 store cast can surface as one ulp.
+    np.testing.assert_allclose(
+        np.asarray(out.astype(jnp.float32)),
+        np.asarray(ref.astype(jnp.float32)),
+        rtol=2**-7,
+        atol=2**-9,
     )
