@@ -229,6 +229,47 @@ def test_visualize_tools(synth_root, tmp_path):
     assert os.path.exists(visualize_segmentation_ratios(cfg))
 
 
+def test_eval_sensor_transfer_script(synth_root, tmp_path):
+    """The cross-domain probe runs end-to-end and the sensor pass really
+    perturbs the inputs (same labels, different images -> different RMSE
+    for an untrained net is not guaranteed, so assert finiteness + record
+    shape instead)."""
+    import json
+    import runpy
+    import sys
+
+    from perseus_tpu.models import resnet
+    from perseus_tpu.train import checkpoint as ckpt
+
+    params, stats = resnet.init_keypoint_cnn(jax.random.key(4), 8, 4)
+    ckpt_dir = str(tmp_path / "model_fx")
+    ckpt.save_train_state(ckpt_dir, {"params": params, "batch_stats": stats})
+
+    out_json = str(tmp_path / "sensor_transfer.json")
+    argv_prev = sys.argv
+    sys.argv = [
+        "eval_sensor_transfer",
+        "--checkpoint", ckpt_dir,
+        "--dataset-path", os.path.join(synth_root, "data", "synth", "pruned.hdf5"),
+        "--batch-size", "4",
+        "--no-amp",
+        "--output", out_json,
+    ]
+    try:
+        runpy.run_path(
+            os.path.join(os.path.dirname(__file__), "..", "scripts", "eval_sensor_transfer.py"),
+            run_name="__main__",
+        )
+    finally:
+        sys.argv = argv_prev
+    with open(out_json) as f:
+        rec = json.loads(f.read())
+    assert np.isfinite(rec["clean_rmse_px"]) and rec["clean_rmse_px"] > 0
+    assert np.isfinite(rec["sensor_rmse_px"]) and rec["sensor_rmse_px"] > 0
+    assert rec["n_frames"] > 0
+    assert rec["delta_px"] == rec["sensor_rmse_px"] - rec["clean_rmse_px"]
+
+
 # ----------------------------- graft entries -------------------------------
 
 
