@@ -326,41 +326,51 @@ def main() -> None:
         "failure_breakdown": breakdown,
     }
 
+    # The checkpoint is already on disk; a failure in either post-train eval
+    # must not void the run's metrics record, so each eval degrades to an
+    # error note in metrics.json instead of raising.
     if cfg.holdout_job_dir and os.path.isdir(cfg.holdout_job_dir):
-        # unseen-STYLE generalization: label/merge/prune the holdout-style
-        # jobs into their own root and score the trained model there
-        ho_cfg = dataclasses.replace(
-            cfg,
-            job_dir=cfg.holdout_job_dir,
-            data_root=os.path.join(cfg.data_root, "holdout"),
-            train_frac=0.05,  # evaluate on ~all holdout frames (the test split)
-        )
-        ho_pruned = prepare_dataset(ho_cfg)
-        ho_tcfg = dataclasses.replace(
-            tcfg, dataset_config=KeypointDatasetConfig(dataset_path=ho_pruned)
-        )
-        ho_ds = PrunedKeypointDataset(ho_tcfg.dataset_config, train=False, cache=False)
-        dd_ho = tm._device_dataset(ho_ds, ho_tcfg, mesh, use_transplant=False)
-        ho_stats = val_rmse_px(state, ho_tcfg, mesh, dd_ho)
-        for a in dd_ho[:3]:
-            a.delete()
-        metrics["holdout_style_rmse_px"] = ho_stats["val_rmse_px"]
-        metrics["holdout_style_median_corner_err_px"] = ho_stats["val_median_corner_err_px"]
-        metrics["holdout_style_n_frames"] = len(ho_ds)
+        try:
+            # unseen-STYLE generalization: label/merge/prune the holdout-style
+            # jobs into their own root and score the trained model there
+            ho_cfg = dataclasses.replace(
+                cfg,
+                job_dir=cfg.holdout_job_dir,
+                data_root=os.path.join(cfg.data_root, "holdout"),
+                train_frac=0.05,  # evaluate on ~all holdout frames (the test split)
+            )
+            ho_pruned = prepare_dataset(ho_cfg)
+            ho_tcfg = dataclasses.replace(
+                tcfg, dataset_config=KeypointDatasetConfig(dataset_path=ho_pruned)
+            )
+            ho_ds = PrunedKeypointDataset(ho_tcfg.dataset_config, train=False, cache=False)
+            dd_ho = tm._device_dataset(ho_ds, ho_tcfg, mesh, use_transplant=False)
+            ho_stats = val_rmse_px(state, ho_tcfg, mesh, dd_ho)
+            for a in dd_ho[:3]:
+                a.delete()
+            metrics["holdout_style_rmse_px"] = ho_stats["val_rmse_px"]
+            metrics["holdout_style_median_corner_err_px"] = ho_stats["val_median_corner_err_px"]
+            metrics["holdout_style_n_frames"] = len(ho_ds)
+
+        except Exception as e:  # noqa: BLE001
+            metrics["holdout_eval_error"] = repr(e)
 
     if cfg.pose_eval_job and os.path.isdir(cfg.pose_eval_job):
-        from perseus_tpu.eval.pose_eval import evaluate_pose_tracking
+        try:
+            from perseus_tpu.eval.pose_eval import evaluate_pose_tracking
 
-        pose = evaluate_pose_tracking(
-            cfg.pose_eval_job,
-            params=state.params,
-            batch_stats=state.batch_stats,
-            window=12,
-        )
-        metrics["pose_rmse_mm"] = pose["pose_rmse_mm"]
-        metrics["pose_rmse_deg"] = pose["pose_rmse_deg"]
-        metrics["pose_median_mm"] = pose["pose_median_mm"]
-        metrics["pose_median_deg"] = pose["pose_median_deg"]
+            pose = evaluate_pose_tracking(
+                cfg.pose_eval_job,
+                params=state.params,
+                batch_stats=state.batch_stats,
+                window=12,
+            )
+            metrics["pose_rmse_mm"] = pose["pose_rmse_mm"]
+            metrics["pose_rmse_deg"] = pose["pose_rmse_deg"]
+            metrics["pose_median_mm"] = pose["pose_median_mm"]
+            metrics["pose_median_deg"] = pose["pose_median_deg"]
+        except Exception as e:  # noqa: BLE001
+            metrics["pose_eval_error"] = repr(e)
 
     with open(os.path.join(cfg.output_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2)
