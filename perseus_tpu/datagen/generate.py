@@ -73,6 +73,12 @@ class VideoConfig:
     n_static_range: tuple[int, int] = (10, 20)
     n_dynamic_range: tuple[int, int] = (1, 3)
     distractor_scale_range: tuple[float, float] = (0.3, 1.0)
+    # Per-vertex jitter (fraction of half-extent) applied to every DISTRACTOR
+    # mesh, making each one a unique irregular hexahedron. This is the shape
+    # half of the reference's GSO mesh diversity (generate_one_video.py:
+    # 229-245): with exact boxes/wedges only, a detector can shortcut on
+    # "any axis-regular box is the cube". The cube itself is never jittered.
+    distractor_vertex_jitter: float = 0.25
 
     camera_movement: str = "fixed_random"  # or "linear"
     camera_radius_range: tuple[float, float] = (6.0, 9.0)
@@ -424,6 +430,17 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
     n_static = int(rng.integers(cfg.n_static_range[0], cfg.n_static_range[1] + 1))
     n_dynamic = int(rng.integers(cfg.n_dynamic_range[0], cfg.n_dynamic_range[1] + 1))
     shape_families = ("box", "wedge", "pyramid")  # non-box GSO-distractor role
+
+    def distractor_verts(he: np.ndarray) -> np.ndarray:
+        """A unique irregular hexahedron: random base family + per-vertex
+        jitter scaled by the half-extents. Collapsed wedge/pyramid vertices
+        jitter independently, re-opening into slanted slivers — more shape
+        variety, same 12-triangle topology."""
+        v = render.shape_vertices(he, shape_families[int(rng.integers(3))])
+        j = cfg.distractor_vertex_jitter
+        if j > 0.0:
+            v = v + rng.uniform(-j, j, size=(8, 3)) * he[None, :]
+        return v
     half_extents = [np.full(3, abs_scale)]
     verts_local = [render.shape_vertices(half_extents[0], "box")]  # cube IS a box
     bodies = [
@@ -441,10 +458,14 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
             if all(np.linalg.norm(xy - oxy) > r_xy + orad for oxy, orad in static_xy):
                 break
         static_xy.append((xy, r_xy))
-        pos = np.array([xy[0], xy[1], he[2]])
         rot = _np_so3_exp(np.array([0.0, 0.0, rng.uniform(0, np.pi)]))
+        verts = distractor_verts(he)
+        # rest exactly on the floor: lift by the lowest rotated vertex (the
+        # analytic box support height is wrong once vertices are jittered)
+        rest_z = -float(np.min((rot @ verts.T)[2]))
+        pos = np.array([xy[0], xy[1], rest_z])
         half_extents.append(he)
-        verts_local.append(render.shape_vertices(he, shape_families[int(rng.integers(3))]))
+        verts_local.append(verts)
         bodies.append(dict(pos=pos, rot=rot, vel=np.zeros(3), ang=np.zeros(3),
                            he=he, movable=False))
     for _ in range(n_dynamic):
@@ -454,7 +475,7 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
         vel = rng.uniform(-cfg.max_linear_velocity, cfg.max_linear_velocity, 3)
         ang = rng.uniform(-cfg.max_angular_velocity, cfg.max_angular_velocity, 3)
         half_extents.append(he)
-        verts_local.append(render.shape_vertices(he, shape_families[int(rng.integers(3))]))
+        verts_local.append(distractor_verts(he))
         bodies.append(dict(pos=pos0, rot=rot0, vel=vel, ang=ang, he=he, movable=True))
 
     all_pos, all_rot = _simulate_bodies(

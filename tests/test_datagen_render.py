@@ -313,3 +313,60 @@ def test_generated_video_has_no_cube_interpenetration(tmp_path):
         r = np.linalg.norm(inst.get("half_extents", [inst.get("abs_scale", 0.5)] * 3))
         d = np.linalg.norm(p - cube, axis=-1)
         assert d.min() >= (r_cube + r) - 1e-3, (inst.get("asset_id"), d.min(), r_cube + r)
+
+
+def test_distractor_vertex_jitter():
+    """Every distractor gets a unique jittered hexahedron bounded by the
+    jitter fraction; the cube (instance 0) stays an exact box; jittered
+    statics still rest exactly on the floor at frame 0."""
+    import dataclasses
+
+    from perseus_tpu.datagen import render
+    from perseus_tpu.datagen.generate import VideoConfig, _simulate
+
+    cfg = VideoConfig(
+        job_dir="/tmp/unused", resolution=32, frames=2,
+        n_static_range=(3, 3), n_dynamic_range=(2, 2), seed=5,
+    )
+    rng = np.random.default_rng(cfg.seed)
+    scene = _simulate(cfg, rng)
+    verts = scene["verts_local"]  # (O, 8, 3)
+    he = scene["half_extents"]
+
+    # cube exact
+    np.testing.assert_array_equal(verts[0], render.shape_vertices(he[0], "box"))
+
+    # distractors: unique, and within jitter bound of SOME base family
+    j = cfg.distractor_vertex_jitter
+    for o in range(1, verts.shape[0]):
+        for o2 in range(o + 1, verts.shape[0]):
+            assert np.abs(verts[o] - verts[o2]).max() > 1e-9
+        dev = min(
+            np.max(np.abs(verts[o] - render.shape_vertices(he[o], fam)) / he[o][None, :])
+            for fam in ("box", "wedge", "pyramid")
+        )
+        assert dev <= j + 1e-9
+        assert dev > 0.0  # jitter actually applied
+
+    # statics (movable=False -> constant trajectory) rest on the floor:
+    # lowest rotated+translated vertex at z ~ 0 in frame 0
+    pos0, rot0 = scene["positions"][0], scene["rotations"][0]
+    statics = [
+        o for o in range(1, verts.shape[0])
+        if np.allclose(scene["positions"][:, o], scene["positions"][0, o])
+    ]
+    assert len(statics) == 3
+    for o in statics:
+        world_z = (rot0[o] @ verts[o].T)[2] + pos0[o][2]
+        assert abs(world_z.min()) < 1e-6
+
+    # jitter off -> exact family shapes return
+    cfg_off = dataclasses.replace(cfg, distractor_vertex_jitter=0.0)
+    scene_off = _simulate(cfg_off, np.random.default_rng(cfg.seed))
+    v_off, he_off = scene_off["verts_local"], scene_off["half_extents"]
+    for o in range(1, v_off.shape[0]):
+        dev = min(
+            np.max(np.abs(v_off[o] - render.shape_vertices(he_off[o], fam)))
+            for fam in ("box", "wedge", "pyramid")
+        )
+        assert dev == 0.0
