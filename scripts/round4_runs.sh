@@ -16,7 +16,9 @@ set -u
 cd "$(dirname "$0")/.."
 DATA="--job-dir outputs/scale_run3/jobs --data-root outputs/scale_run3/data_full --skip-prepare"
 EVAL="--holdout-job-dir outputs/scale_run3/holdout_jobs --pose-eval-job outputs/scale_run3/pose_jobs/00000000"
-OP="--batch-size 256 --device-data-rows 9500 --device-data-refresh-epochs 16 --host-cache"
+# no --host-cache (55 GB host RSS) and 32-epoch refresh windows: the
+# remote-transfer client leaks ~26% of uploaded bytes into RSS per refresh
+OP="--batch-size 256 --device-data-rows 9500 --device-data-refresh-epochs 32"
 ABL="--epochs 100 $DATA $OP"
 LOG=outputs/round4_logs
 mkdir -p "$LOG"
@@ -95,6 +97,12 @@ for s in $stages; do case $s in
     # must be recomputed against the CURRENT pruned split (row count/order
     # differ per datagen code version); round-3's .npy would be rejected by
     # make_sample_weights' length check.
+    #
+    # NO --host-cache and 32-epoch refresh windows: the remote-transfer
+    # client retains ~26% of every uploaded byte in host RSS (measured;
+    # delete + malloc_trim don't reclaim it), so a 300-epoch run leaks
+    # ~4 GB per refresh no matter what — the 55 GB host cache on top of
+    # that OOM-killed the first round-4 final at epoch 239/300.
     W=outputs/models/abl_tail/difficulty_weights.npy
     [ -f "$W" ] || W=outputs/scale_run3/difficulty_weights_abl.npy
     WARG=""
@@ -107,6 +115,15 @@ for s in $stages; do case $s in
       --oversample-outframe 1.0 \
       --outframe-corner-weight 0.3 --outframe-clamp-px 32 \
       $INIT $WARG
+    ;;
+  sensor)
+    # cross-domain probe on the flagship checkpoint (photometric sensor
+    # domain the training corpus never contained)
+    HO=outputs/scale_run3/data_full/holdout/pruned/pruned.hdf5
+    [ -f "$HO" ] || HO=outputs/scale_run3/data_full/pruned/pruned.hdf5
+    run sensor_transfer python scripts/eval_sensor_transfer.py \
+      --checkpoint outputs/models/scale_run/final --dataset-path "$HO" \
+      --output outputs/models/scale_run/sensor_transfer.json
     ;;
   *) echo "unknown stage $s";;
 esac; done
