@@ -910,6 +910,19 @@ def train(cfg: TrainConfig) -> dict:
                     ctypes.CDLL("libc.so.6").malloc_trim(0)
                 except OSError:  # non-glibc platform
                     pass
+                # RSS breadcrumb: the remote-transfer client retains ~26% of
+                # uploaded bytes (neither delete() nor malloc_trim reclaims
+                # it), so long runs creep ~4 GB per refresh — surface the
+                # trend so an impending host OOM is visible in the log
+                # (a silent OOM kill cost round 4 a 300-epoch run).
+                try:
+                    with open("/proc/self/status") as f:
+                        rss = next(
+                            ln for ln in f if ln.startswith("VmRSS")
+                        ).split()[1]
+                    print(f"[refresh epoch {epoch}] host RSS {int(rss)>>20} GB", flush=True)
+                except (OSError, StopIteration):
+                    pass
             d_imgs, d_crds, d_w, _, n_local = dd_train
             # shard-local per-epoch permutations (the DistributedSampler
             # reshuffle, one independent stream per shard)
