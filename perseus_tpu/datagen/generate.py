@@ -281,12 +281,19 @@ def _simulate_bodies(
     doesn't have).
 
     Each body is a dict {pos, rot, vel, ang, he, movable}. Collision model:
-    bounding spheres of radius ``|he|_2`` (the box half-diagonal — spheres
-    disjoint => boxes CANNOT interpenetrate), mass proportional to volume,
-    statics have infinite mass. Contacts resolve by positional projection
-    split by inverse mass plus a restitution impulse along the contact
-    normal and tangential friction damping; momentum is conserved for
-    movable-movable impacts (tested in
+    contact distance along the center line is the sum of the two boxes'
+    SUPPORT RADII on that axis (``_support_radius``: h(n) = Σ_k he_k·|n·R_k|,
+    the exact projected half-width of the oriented box), with the bounding
+    sphere ``|he|_2`` only as a cheap prefilter. An earlier version used the
+    bounding sphere as the contact distance itself; that phantom-contacted
+    anything inside the circumscribed ball and measurably shoved the cube
+    off-camera (fraction of frames with out-of-frame GT corners: 0.85
+    sphere-contact vs 0.15 collisions-off vs ~0.17 support-radius — the
+    round-4 "82% of val frames have OOF corners" regression). Mass is
+    proportional to volume, statics have infinite mass. Contacts resolve by
+    positional projection split by inverse mass plus a restitution impulse
+    along the contact normal and tangential friction damping; momentum is
+    conserved for movable-movable impacts (tested in
     tests/test_datagen_render.py::test_object_collisions_*).
 
     Returns (positions (T, O, 3), rotations (T, O, 3, 3)).
@@ -301,6 +308,26 @@ def _simulate_bodies(
     radius = np.linalg.norm(he, axis=-1)
     inv_mass = np.where(movable, 1.0 / np.prod(he, axis=-1), 0.0)
 
+    def _contact_overlap(i: int, j: int):
+        """(overlap, n) of the pair along the center line, or (None, None).
+
+        Overlap uses each box's support radius on the center axis — the
+        single-axis SAT distance. Disjoint on this axis does not PROVE the
+        boxes are disjoint (corner-to-corner cases), but it is exact for
+        face-on contact and never reports contact for boxes a sphere test
+        would phantom-touch."""
+        d = pos[i] - pos[j]
+        dist = float(np.linalg.norm(d))
+        if dist >= radius[i] + radius[j] or dist < 1e-9:  # sphere prefilter
+            return None, None
+        n = d / dist
+        r_i = float(np.abs(n @ rot[i]) @ he[i])
+        r_j = float(np.abs(n @ rot[j]) @ he[j])
+        overlap = r_i + r_j - dist
+        if overlap <= 0.0:
+            return None, None
+        return overlap, n
+
     positions = np.empty((frames, o, 3))
     rotations = np.empty((frames, o, 3, 3))
     h = dt / substeps
@@ -312,13 +339,10 @@ def _simulate_bodies(
             for j in range(i + 1, o):
                 if not (movable[i] or movable[j]):
                     continue
-                d = pos[i] - pos[j]
-                dist = float(np.linalg.norm(d))
-                overlap = radius[i] + radius[j] - dist
-                if overlap <= 0.0 or dist < 1e-9:
+                overlap, n = _contact_overlap(i, j)
+                if overlap is None:
                     continue
                 any_overlap = True
-                n = d / dist
                 w_sum = inv_mass[i] + inv_mass[j]
                 pos[i] += n * (overlap * inv_mass[i] / w_sum)
                 pos[j] -= n * (overlap * inv_mass[j] / w_sum)
@@ -364,12 +388,9 @@ def _simulate_bodies(
                 for j in range(i + 1, o):
                     if not (movable[i] or movable[j]):
                         continue
-                    d = pos[i] - pos[j]
-                    dist = float(np.linalg.norm(d))
-                    overlap = radius[i] + radius[j] - dist
-                    if overlap <= 0.0 or dist < 1e-9:
+                    overlap, n = _contact_overlap(i, j)
+                    if overlap is None:
                         continue
-                    n = d / dist
                     w_sum = inv_mass[i] + inv_mass[j]
                     # positional projection split by inverse mass
                     pos[i] += n * (overlap * inv_mass[i] / w_sum)
@@ -420,7 +441,12 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
         [rng.uniform(lo, hi), rng.uniform(lo, hi), rng.uniform(*cfg.cube_spawn_height)]
     )
     cube_rot0 = _np_so3_exp(rng.normal(size=3))
+    # center-biased velocity, exactly the reference's recipe
+    # (generate_one_video.py:266-270: velocity = uniform(range) - [x0, y0, 0])
+    # — the draw is pulled back toward the camera's look-at point so the cube
+    # tends to stay in frame over the trajectory
     cube_vel = rng.uniform(-cfg.max_linear_velocity, cfg.max_linear_velocity, 3)
+    cube_vel[:2] -= cube_pos0[:2]
     cube_ang = rng.uniform(-cfg.max_angular_velocity, cfg.max_angular_velocity, 3)
 
     # distractors: static on the floor + dynamic tossed. All bodies integrate
@@ -447,14 +473,28 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
         dict(pos=cube_pos0, rot=cube_rot0, vel=cube_vel, ang=cube_ang,
              he=half_extents[0], movable=True)
     ]
+    # Keep statics clear of the cube's spawn/landing zone: the reference
+    # spawns via move_until_no_overlap (re-SAMPLE until free,
+    # generate_one_video.py:296) so the cube never starts in contact. With a
+    # static inside the landing zone, the per-substep contact projection
+    # against an infinite-mass body acts as a conveyor that walks the cube
+    # off-camera (measured: OOF-corner frame rate 0.59 statics-only vs 0.15
+    # collisions-off).
+    cube_clear = float(np.linalg.norm(half_extents[0])) + 1.0
     static_xy: list[tuple[np.ndarray, float]] = []
     for _ in range(n_static):
         he = rng.uniform(*cfg.distractor_scale_range, size=3)
         r_xy = float(np.linalg.norm(he))
         # rejection-sample so statics don't spawn interpenetrating each other
         # (the reference settles them through PyBullet instead)
+        # ±7 xy field, the reference's STATIC_SPAWN_REGION
+        # (generate_one_video.py:29) — a ±4 field is 4x its density, and the
+        # cube then lands ON static piles (measured resting z ~3 vs ~1.7),
+        # pushing its top corners out of frame
         for _attempt in range(25):
-            xy = np.array([rng.uniform(-4, 4), rng.uniform(-4, 4)])
+            xy = np.array([rng.uniform(-7, 7), rng.uniform(-7, 7)])
+            if np.linalg.norm(xy - cube_pos0[:2]) <= r_xy + cube_clear:
+                continue
             if all(np.linalg.norm(xy - oxy) > r_xy + orad for oxy, orad in static_xy):
                 break
         static_xy.append((xy, r_xy))
@@ -470,9 +510,29 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
                            he=he, movable=False))
     for _ in range(n_dynamic):
         he = rng.uniform(*cfg.distractor_scale_range, size=3)
-        pos0 = np.array([rng.uniform(lo, hi), rng.uniform(lo, hi), rng.uniform(1.0, 3.0)])
+        # Rejection-sample the toss origin clear of every body already placed
+        # (the reference's kb.move_until_no_overlap, generate_one_video.py:310,
+        # over its wider DYNAMIC_SPAWN_REGION). Spawning these inside the
+        # cube's ±1 spawn box made frame-0 overlap with the cube near-certain,
+        # and the pre-frame-0 projection loop then played pinball: the cube
+        # was measured starting at z=5.0 / |xy|=1.9 (outside its configured
+        # spawn ranges) before the video even began.
+        r_dyn = float(np.linalg.norm(he))
+        for _attempt in range(50):
+            pos0 = np.array(
+                [rng.uniform(-3.0, 3.0), rng.uniform(-3.0, 3.0), rng.uniform(1.0, 4.0)]
+            )
+            if all(
+                np.linalg.norm(pos0 - b["pos"]) > r_dyn + np.linalg.norm(b["he"])
+                for b in bodies
+            ):
+                break
         rot0 = _np_so3_exp(rng.normal(size=3))
+        # center-biased toss, the reference's recipe for dynamics too
+        # (generate_one_video.py:311-315) — distractors fly THROUGH the scene
+        # (occlusion events) instead of drifting out of it
         vel = rng.uniform(-cfg.max_linear_velocity, cfg.max_linear_velocity, 3)
+        vel[:2] -= 0.5 * pos0[:2]
         ang = rng.uniform(-cfg.max_angular_velocity, cfg.max_angular_velocity, 3)
         half_extents.append(he)
         verts_local.append(distractor_verts(he))

@@ -314,6 +314,11 @@ def main() -> None:
             "lr": 0.0,
         },
     )
+    if "corners_in_frame" in breakdown:
+        # raw RMSE mixes detector error with extrapolation to GT corners far
+        # outside the image (the split has frames with corners hundreds of px
+        # out); the in-frame number is the detector-quality headline
+        rmse_stats["val_rmse_in_frame_px"] = breakdown["corners_in_frame"]["rmse_px"]
     metrics = {
         **rmse_stats,
         "val_loss": result["final_val_loss"],

@@ -246,8 +246,9 @@ def test_camera_effects_photometric_only(tmp_path):
 
 def test_object_collisions_momentum_and_separation():
     """Head-on equal-mass impact in zero gravity, no ground: total momentum
-    is conserved through the impulse and the bodies never interpenetrate
-    (bounding-sphere contact: center distance >= r_i + r_j at every frame)."""
+    is conserved through the impulse and the boxes never interpenetrate.
+    Axis-aligned head-on means the support-radius contact distance is EXACT
+    box contact: center distance >= he_i.x + he_j.x at every frame."""
     from perseus_tpu.datagen.generate import _simulate_bodies
 
     he = np.full(3, 0.5)
@@ -258,7 +259,7 @@ def test_object_collisions_momentum_and_separation():
              vel=np.array([-1.5, 0.0, 0.0]), ang=np.zeros(3), he=he, movable=True),
     ]
     pos, _ = _simulate_bodies(bodies, 40, 1.0 / 12.0, gravity=0.0, ground=False)
-    r = float(np.linalg.norm(he))
+    r = float(he[0])  # support radius of an axis-aligned box along x
     dists = np.linalg.norm(pos[:, 0] - pos[:, 1], axis=-1)
     assert dists.min() >= 2 * r - 1e-6, dists.min()
     # they actually met and bounced back apart
@@ -284,7 +285,7 @@ def test_object_collisions_static_infinite_mass():
     pos, _ = _simulate_bodies(bodies, 48, 1.0 / 12.0, gravity=0.0, ground=False)
     np.testing.assert_array_equal(pos[:, 1], np.tile(bodies[1]["pos"], (48, 1)))
     dists = np.linalg.norm(pos[:, 0] - pos[:, 1], axis=-1)
-    assert dists.min() >= 2 * float(np.linalg.norm(he)) - 1e-6
+    assert dists.min() >= 2 * float(he[0]) - 1e-6  # exact box contact along x
 
 
 def test_generated_video_has_no_cube_interpenetration(tmp_path):
@@ -305,14 +306,32 @@ def test_generated_video_has_no_cube_interpenetration(tmp_path):
     )
     with open(os.path.join(job, "metadata.json")) as f:
         meta = json.load(f)
+    def _wxyz_to_rot(q):
+        w, x, y, z = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ])
+
     insts = meta["instances"]
     cube = np.asarray(insts[0]["positions"])
-    r_cube = np.linalg.norm(insts[0].get("half_extents", [insts[0]["abs_scale"]] * 3))
+    cube_he = np.asarray(insts[0].get("half_extents", [insts[0]["abs_scale"]] * 3))
+    cube_rots = [_wxyz_to_rot(q) for q in insts[0]["quaternions"]]
     for inst in insts[1:]:
         p = np.asarray(inst["positions"])
-        r = np.linalg.norm(inst.get("half_extents", [inst.get("abs_scale", 0.5)] * 3))
-        d = np.linalg.norm(p - cube, axis=-1)
-        assert d.min() >= (r_cube + r) - 1e-3, (inst.get("asset_id"), d.min(), r_cube + r)
+        he = np.asarray(inst.get("half_extents", [inst.get("abs_scale", 0.5)] * 3))
+        rots = [_wxyz_to_rot(q) for q in inst["quaternions"]]
+        # support-radius separation along the center line (the contact model
+        # _simulate_bodies enforces: no face-on interpenetration, no phantom
+        # bounding-sphere contacts)
+        for f in range(p.shape[0]):
+            d = cube[f] - p[f]
+            dist = float(np.linalg.norm(d))
+            n = d / max(dist, 1e-9)
+            r_cube = float(np.abs(n @ cube_rots[f]) @ cube_he)
+            r = float(np.abs(n @ rots[f]) @ he)
+            assert dist >= (r_cube + r) - 1e-3, (inst.get("asset_id"), f, dist, r_cube + r)
 
 
 def test_distractor_vertex_jitter():
