@@ -136,6 +136,29 @@ for s in $stages; do case $s in
       --oversample-outframe 1.0 --outframe-corner-weight 0.3 \
       $INIT2 $WARG2
     ;;
+  regen4)
+    # Full-scale regeneration + retrain on the FIXED collision/spawn
+    # distribution (support-radius contacts, reference spawn regions —
+    # commit ff53029). The previous scale_run metrics were measured on a
+    # split whose 82% OOF-corner rate was a collision-model artifact;
+    # this stage reproduces the reference operating point (2,500 videos)
+    # on the corrected distribution. Datagen is ~6 s/video on a 1-core
+    # host with the TPU renderer (~4.5 h); shard with --start-index to
+    # resume across windows.
+    run gen4       python scripts/generate_dataset.py --job-dir outputs/scale_run4/jobs \
+      --n-videos 2500 --platform default --seed 41
+    run gen4_hold  python scripts/generate_dataset.py --job-dir outputs/scale_run4/holdout_jobs \
+      --n-videos 400 --style holdout --platform default --seed 91
+    run gen4_pose  python scripts/generate_dataset.py --job-dir outputs/scale_run4/pose_jobs \
+      --n-videos 1 --platform default --seed 77
+    run final4 python scripts/train_at_scale.py --epochs 300 \
+      --job-dir outputs/scale_run4/jobs --data-root outputs/scale_run4/data \
+      --holdout-job-dir outputs/scale_run4/holdout_jobs \
+      --pose-eval-job outputs/scale_run4/pose_jobs/00000000 \
+      --batch-size 256 --device-data-rows 9500 --device-data-refresh-epochs 32 \
+      --output-dir outputs/models/scale_run --head spatial --ema-decay 0.9 \
+      --oversample-outframe 1.0 --outframe-corner-weight 0.3
+    ;;
   sensor)
     # cross-domain probe on the flagship checkpoint (photometric sensor
     # domain the training corpus never contained)
