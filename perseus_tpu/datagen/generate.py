@@ -178,6 +178,14 @@ def _support_height(rot: np.ndarray, half_extents: np.ndarray) -> float:
     return float(np.sum(half_extents * np.abs(rot[2, :])))
 
 
+def _dist_to_segment(p: np.ndarray, a: np.ndarray, b: np.ndarray) -> float:
+    """Distance from 2-D point `p` to the segment [a, b]."""
+    ab = b - a
+    denom = float(ab @ ab)
+    s = 0.0 if denom < 1e-12 else float(np.clip((p - a) @ ab / denom, 0.0, 1.0))
+    return float(np.linalg.norm(p - (a + s * ab)))
+
+
 def _integrate_pose(
     pos0: np.ndarray, rot0: np.ndarray, vel: np.ndarray, ang_vel: np.ndarray,
     frames: int, dt: float, gravity: float,
@@ -239,6 +247,12 @@ def _style_params(style: str, rng: np.random.Generator) -> dict:
         )
         p["sky_colors"] = rng.uniform(0.1, 0.9, size=(2, 3))
         p["ground_colors"] = rng.uniform(0.1, 0.9, size=(2, 3))
+        # background texture FAMILY pool (the HDRI-dome diversity role,
+        # reference generate_one_video.py:119-134 — every scene gets a
+        # random environment image): fbm tiles, equirect sky panoramas
+        # (gradient + clouds + sun), Voronoi cell floors
+        p["sky_family"] = ("fbm", "pan", "pan")[int(rng.integers(3))]
+        p["ground_family"] = ("fbm", "cells")[int(rng.integers(2))]
     elif style == "holdout":
         p = dict(
             shininess=float(rng.uniform(90.0, 160.0)),
@@ -252,6 +266,10 @@ def _style_params(style: str, rng: np.random.Generator) -> dict:
         # high-contrast dark/light palettes never drawn at train time
         p["sky_colors"] = np.stack([rng.uniform(0.0, 0.08, 3), rng.uniform(0.92, 1.0, 3)])
         p["ground_colors"] = np.stack([rng.uniform(0.0, 0.08, 3), rng.uniform(0.92, 1.0, 3)])
+        # striped fbm only — keeps every holdout appearance axis disjoint
+        # from the train draw (train never sees stripes=0.7 textures)
+        p["sky_family"] = "fbm"
+        p["ground_family"] = "fbm"
     else:
         raise ValueError(f"unknown style {style!r}")
     az = rng.uniform(0.0, 2 * np.pi)
@@ -312,10 +330,11 @@ def _simulate_bodies(
         """(overlap, n) of the pair along the center line, or (None, None).
 
         Overlap uses each box's support radius on the center axis — the
-        single-axis SAT distance. Disjoint on this axis does not PROVE the
-        boxes are disjoint (corner-to-corner cases), but it is exact for
-        face-on contact and never reports contact for boxes a sphere test
-        would phantom-touch."""
+        single-axis SAT distance. Separation on this axis PROVES the boxes
+        are disjoint (it is a separating axis), so interpenetration is never
+        missed; overlap on this one axis alone cannot prove intersection, so
+        near-corner disjoint pairs can still report phantom contacts — a far
+        milder artifact than the bounding-sphere test this replaced."""
         d = pos[i] - pos[j]
         dist = float(np.linalg.norm(d))
         if dist >= radius[i] + radius[j] or dist < 1e-9:  # sphere prefilter
@@ -403,6 +422,22 @@ def _simulate_bodies(
                         # graze: trade a bit of spin across the contact
                         ang[i] *= 1.0 - 0.2 * friction
                         ang[j] *= 1.0 - 0.2 * friction
+            if ground:
+                # the pairwise projection can push a movable below the floor
+                # (the integrator's clamp already ran earlier this substep);
+                # re-apply it so no recorded frame shows a sunken body
+                for i in range(o):
+                    if movable[i]:
+                        pos[i, 2] = max(pos[i, 2], _support_height(rot[i], he[i]))
+                # ...and the clamp can re-open a pairwise overlap: a couple
+                # of projection-only Gauss-Seidel sweeps settle both
+                # constraints (impulses applied once above, not re-applied)
+                for _ in range(2):
+                    if not _project_overlaps():
+                        break
+                    for i in range(o):
+                        if movable[i]:
+                            pos[i, 2] = max(pos[i, 2], _support_height(rot[i], he[i]))
     return positions, rotations
 
 
@@ -481,6 +516,18 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
     # off-camera (measured: OOF-corner frame rate 0.59 statics-only vs 0.15
     # collisions-off).
     cube_clear = float(np.linalg.norm(half_extents[0])) + 1.0
+    # Clear not just the spawn disk but the corridor the cube actually
+    # travels: project the ballistic landing point (center-biased velocity
+    # moves the cube up to a few units toward the origin before it lands)
+    # and keep statics off the spawn->landing SEGMENT. With only the spawn
+    # disk cleared, a static in the landing zone still conveyor-walks the
+    # cube (residual OOF rate 0.110 vs the 0.097 collisions-off control).
+    g_mag = abs(cfg.gravity)
+    drop = max(float(cube_pos0[2]) - abs_scale, 0.0)
+    vz = float(cube_vel[2])
+    t_land = (vz + np.sqrt(vz * vz + 2.0 * g_mag * drop)) / g_mag if g_mag > 1e-9 else 0.0
+    t_land = float(np.clip(t_land, 0.0, cfg.frames / cfg.fps))
+    cube_land_xy = cube_pos0[:2] + cube_vel[:2] * t_land
     static_xy: list[tuple[np.ndarray, float]] = []
     for _ in range(n_static):
         he = rng.uniform(*cfg.distractor_scale_range, size=3)
@@ -491,12 +538,19 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
         # (generate_one_video.py:29) — a ±4 field is 4x its density, and the
         # cube then lands ON static piles (measured resting z ~3 vs ~1.7),
         # pushing its top corners out of frame
-        for _attempt in range(25):
+        placed = False
+        for _attempt in range(50):
             xy = np.array([rng.uniform(-7, 7), rng.uniform(-7, 7)])
-            if np.linalg.norm(xy - cube_pos0[:2]) <= r_xy + cube_clear:
+            if _dist_to_segment(xy, cube_pos0[:2], cube_land_xy) <= r_xy + cube_clear:
                 continue
             if all(np.linalg.norm(xy - oxy) > r_xy + orad for oxy, orad in static_xy):
+                placed = True
                 break
+        if not placed:
+            # on exhaustion SKIP the distractor rather than silently keep a
+            # sample that violates the clear zone (the reference's
+            # move_until_no_overlap re-samples until free, max_trials=1000)
+            continue
         static_xy.append((xy, r_xy))
         rot = _np_so3_exp(np.array([0.0, 0.0, rng.uniform(0, np.pi)]))
         verts = distractor_verts(he)
@@ -518,7 +572,8 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
         # was measured starting at z=5.0 / |xy|=1.9 (outside its configured
         # spawn ranges) before the video even began.
         r_dyn = float(np.linalg.norm(he))
-        for _attempt in range(50):
+        placed = False
+        for _attempt in range(100):
             pos0 = np.array(
                 [rng.uniform(-3.0, 3.0), rng.uniform(-3.0, 3.0), rng.uniform(1.0, 4.0)]
             )
@@ -526,11 +581,20 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
                 np.linalg.norm(pos0 - b["pos"]) > r_dyn + np.linalg.norm(b["he"])
                 for b in bodies
             ):
+                placed = True
                 break
+        if not placed:
+            # skip rather than spawn overlapping an existing body — a frame-0
+            # overlap re-triggers the pre-frame-0 projection pinball this
+            # rejection sampling exists to prevent
+            continue
         rot0 = _np_so3_exp(rng.normal(size=3))
-        # center-biased toss, the reference's recipe for dynamics too
-        # (generate_one_video.py:311-315) — distractors fly THROUGH the scene
-        # (occlusion events) instead of drifting out of it
+        # center-biased toss — the reference's recipe
+        # (generate_one_video.py:311-315) ADAPTED to this scene's scale: the
+        # reference subtracts the full xy over a ±5/z 1-5 region with ±4
+        # velocities; here a half-strength pull-back over ±3/z 1-4 with this
+        # config's ±1 velocity range keeps distractors flying THROUGH the
+        # scene (occlusion events) instead of drifting out of it
         vel = rng.uniform(-cfg.max_linear_velocity, cfg.max_linear_velocity, 3)
         vel[:2] -= 0.5 * pos0[:2]
         ang = rng.uniform(-cfg.max_angular_velocity, cfg.max_angular_velocity, 3)
@@ -591,12 +655,26 @@ def _simulate(cfg: VideoConfig, rng: np.random.Generator):
 # textures are dynamic so per-video draws never recompile
 _render_jit = jax.jit(
     render.render_frames,
-    static_argnames=("fov", "height", "width", "far", "checker", "ground", "ground_tex_scale"),
+    static_argnames=(
+        "fov", "height", "width", "far", "checker", "ground", "ground_tex_scale", "sky_mode",
+    ),
 )
 # textures jitted too: eager per-op dispatch would cost a round-trip per op
 # on a remote-attached backend (the renderer can run on the TPU while the
 # sim stays in numpy on the host)
 _fbm_jit = jax.jit(render.fbm_texture, static_argnames=("size", "octaves", "stripes"))
+_pan_jit = jax.jit(render.panorama_texture, static_argnames=("size", "octaves"))
+_cells_jit = jax.jit(render.cells_texture, static_argnames=("size", "n_cells"))
+
+
+def _make_texture(family: str, key: jax.Array, colors: np.ndarray, stripes: float):
+    """One background texture draw from the per-style family pool."""
+    c = jnp.asarray(colors, jnp.float32)
+    if family == "pan":
+        return _pan_jit(key, 128, c)
+    if family == "cells":
+        return _cells_jit(key, 128, c)
+    return _fbm_jit(key, 128, c, octaves=3, stripes=stripes)
 
 
 def generate_one_video(cfg: VideoConfig, job_id: str | None = None) -> str:
@@ -641,13 +719,11 @@ def generate_one_video(cfg: VideoConfig, job_id: str | None = None) -> str:
         k_render, k_sky, k_ground = jax.random.split(
             jax.random.key(rng.integers(0, 2**31)), 3
         )
-        sky_tex = _fbm_jit(
-            k_sky, 128, jnp.asarray(style["sky_colors"], jnp.float32),
-            octaves=3, stripes=style["stripes"],
+        sky_tex = _make_texture(
+            style["sky_family"], k_sky, style["sky_colors"], style["stripes"]
         )
-        ground_tex = _fbm_jit(
-            k_ground, 128, jnp.asarray(style["ground_colors"], jnp.float32),
-            octaves=3, stripes=style["stripes"],
+        ground_tex = _make_texture(
+            style["ground_family"], k_ground, style["ground_colors"], style["stripes"]
         )
         rgb, depth, seg = _render_jit(
             k_render,
@@ -669,6 +745,7 @@ def generate_one_video(cfg: VideoConfig, job_id: str | None = None) -> str:
             shadow_strength=jnp.float32(style["shadow_strength"]),
             sky_texture=sky_tex,
             ground_texture=ground_tex,
+            sky_mode="pan" if style["sky_family"] == "pan" else "tile",
         )
         rgb, depth, seg = np.asarray(rgb), np.asarray(depth), np.asarray(seg)
         if cfg.camera_effects:

@@ -37,6 +37,8 @@ __all__ = [
     "shape_vertices",
     "value_noise",
     "fbm_texture",
+    "cells_texture",
+    "panorama_texture",
     "render_frames",
 ]
 
@@ -147,6 +149,95 @@ def fbm_texture(
     return colors[0] * (1.0 - field[..., None]) + colors[1] * field[..., None]
 
 
+def cells_texture(
+    key: jax.Array,
+    size: int,
+    colors: jnp.ndarray,  # (2, 3) palette endpoints lerped by the cell shade
+    n_cells: int = 24,
+) -> jnp.ndarray:
+    """Voronoi-style cellular (size, size, 3) tile: random toroidal seed
+    points, per-cell shade, darkened cell borders. Tiles seamlessly (sampled
+    with wrap coords). Adds the tiled-floor / paver texture family the
+    reference gets from its HDRI/asset image textures
+    (generate_one_video.py:119-134) and an fBm field can't produce."""
+    k1, k2 = jax.random.split(key)
+    pts = jax.random.uniform(k1, (n_cells, 2))
+    shades = jax.random.uniform(k2, (n_cells,))
+    ys = jnp.linspace(0.0, 1.0, size)
+    xs = jnp.linspace(0.0, 1.0, size)
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    dy = jnp.abs(yy[..., None] - pts[None, None, :, 0])
+    dy = jnp.minimum(dy, 1.0 - dy)  # toroidal metric -> seamless tile
+    dx = jnp.abs(xx[..., None] - pts[None, None, :, 1])
+    dx = jnp.minimum(dx, 1.0 - dx)
+    d2 = dy * dy + dx * dx
+    field = shades[jnp.argmin(d2, axis=-1)]
+    d_sorted = jnp.sort(d2, axis=-1)
+    edge = jnp.clip(
+        (jnp.sqrt(d_sorted[..., 1]) - jnp.sqrt(d_sorted[..., 0])) / 0.04, 0.0, 1.0
+    )
+    field = jnp.clip(field * (0.55 + 0.45 * edge), 0.0, 1.0)
+    return colors[0] * (1.0 - field[..., None]) + colors[1] * field[..., None]
+
+
+def panorama_texture(
+    key: jax.Array,
+    size: int,
+    colors: jnp.ndarray,  # (2, 3) zenith / horizon palette endpoints
+    octaves: int = 3,
+) -> jnp.ndarray:
+    """Procedural equirect sky panorama — the HDRI-dome role (the reference
+    domes every scene with a random HDRI image,
+    generate_one_video.py:119-134): a zenith->nadir vertical gradient
+    between the palette endpoints, multi-octave clouds, a bright horizon
+    band, and a sun disk with glow at a random azimuth/elevation. Rows are
+    elevation (0 = zenith, 1 = nadir), columns azimuth; sample with
+    ``_sample_pan`` (azimuth wraps, elevation clamps)."""
+    kc, ks, kh, kg = jax.random.split(key, 4)
+    v = jnp.linspace(0.0, 1.0, size)[:, None]
+    base = colors[0][None, None] * (1.0 - v)[..., None] + colors[1][None, None] * v[..., None]
+    keys = jax.random.split(kc, octaves)
+    field = jnp.zeros((size, size))
+    amp, total = 1.0, 0.0
+    for i in range(octaves):
+        field = field + amp * value_noise(keys[i], size, size, cells=4 * (2**i))
+        total += amp
+        amp *= 0.5
+    field = field / total
+    cloud_amt = jax.random.uniform(kh, (), minval=0.15, maxval=0.6)
+    cloud_col = jnp.ones(3) * jax.random.uniform(kg, (), minval=0.7, maxval=1.0)
+    w = jnp.clip((field - 0.55) / 0.25, 0.0, 1.0) * cloud_amt
+    img = base * (1.0 - w[..., None]) + cloud_col[None, None] * w[..., None]
+    # the dome meets the ground plane at v = 0.5: brighten the seam like the
+    # atmospheric scattering band real panoramas have there
+    img = img + 0.25 * jnp.exp(-(((v - 0.5) / 0.08) ** 2))[..., None]
+    su = jax.random.uniform(ks, (2,))
+    sun_u, sun_v = su[0], 0.1 + 0.35 * su[1]  # sun in the upper half
+    u = jnp.linspace(0.0, 1.0, size)[None, :]
+    du = jnp.abs(u - sun_u)
+    du = jnp.minimum(du, 1.0 - du)  # azimuth wraps
+    d2 = du * du + (v - sun_v) ** 2
+    img = img + (1.5 * jnp.exp(-d2 / 4e-4) + 0.3 * jnp.exp(-d2 / 0.02))[..., None]
+    return jnp.clip(img, 0.0, 1.0)
+
+
+def _sample_pan(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample of an equirect panorama: u (azimuth) wraps, v
+    (elevation) clamps to [0, 1] — a vertical gradient must not wrap."""
+    s = tex.shape[0]
+    x = (u % 1.0) * (s - 1)
+    y = jnp.clip(v, 0.0, 1.0) * (s - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, s - 2)
+    y0 = jnp.clip(jnp.floor(y).astype(jnp.int32), 0, s - 2)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    t00 = tex[y0, x0]
+    t01 = tex[y0, x0 + 1]
+    t10 = tex[y0 + 1, x0]
+    t11 = tex[y0 + 1, x0 + 1]
+    return (1 - fy) * ((1 - fx) * t00 + fx * t01) + fy * ((1 - fx) * t10 + fx * t11)
+
+
 def _sample_tile(tex: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     """Bilinear wrap-sample of a (S, S, 3) tile at texture coords u, v (any
     real scale; 1.0 spans the tile)."""
@@ -212,6 +303,7 @@ def render_frames(
     sky_texture: jnp.ndarray | None = None,
     ground_texture: jnp.ndarray | None = None,
     ground_tex_scale: float = 4.0,
+    sky_mode: str = "tile",
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Renders T frames of O convex 8-vertex solids (boxes by default).
 
@@ -286,10 +378,14 @@ def render_frames(
         d_norm = d_world / (jnp.linalg.norm(d_world, axis=-1, keepdims=True) + 1e-9)
         az = jnp.arctan2(d_norm[..., 1], d_norm[..., 0]) / (2 * np.pi) + 0.5
         el = 0.5 - jnp.arcsin(jnp.clip(d_norm[..., 2], -1.0, 1.0)) / np.pi
-        if sky_texture is not None:
-            sky_rgb = _sample_tile(sky_texture, az * 2.0, el * 2.0)
-        else:
+        if sky_texture is None:
             sky_rgb = flat_bg_rgb
+        elif sky_mode == "pan":
+            # equirect panorama: azimuth wraps, elevation maps 0=zenith ->
+            # 1=nadir exactly once (panorama_texture's row convention)
+            sky_rgb = _sample_pan(sky_texture, az, el)
+        else:
+            sky_rgb = _sample_tile(sky_texture, az * 2.0, el * 2.0)
 
         # ground: texture by world xy, Lambert from the +z normal
         p = cam_trans[None, None, :] + t_g[..., None] * d_world  # (H, W, 3)
