@@ -230,7 +230,7 @@ def _basic_block(
     return jax.nn.relu(out + identity)
 
 
-def _max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+def _reduce_window_max_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
     """torch MaxPool2d(kernel=3, stride=2, padding=1): pads with -inf.
 
     The init value must be the true -inf identity (finite dtype-min breaks
@@ -243,6 +243,82 @@ def _max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
         window_strides=(1, 2, 2, 1),
         padding=((0, 0), (1, 1), (1, 1), (0, 0)),
     )
+
+
+@jax.custom_vjp
+def _max_pool_3x3_s2_cmp(x: jnp.ndarray) -> jnp.ndarray:
+    return _reduce_window_max_3x3_s2(x)
+
+
+def _mp_fwd(x):
+    y = _reduce_window_max_3x3_s2(x)
+    return y, (x, y)
+
+
+def _mp_bwd(res, g):
+    """Comparison-based maxpool gradient (replaces XLA's select-and-scatter,
+    which the round-4 profile measured at 2.15 ms/step — ~3x its HBM
+    roofline on TPU).
+
+    With even H/W the 3x3 stride-2 pad-1 windows have a fixed parity
+    structure: input row 2p is covered only by window row p; input row 2p+1
+    by window rows p and p+1 (same for columns). So the gradient splits
+    into four parity sub-grids with 1/2/2/4 window terms each, all plain
+    elementwise compares + shifts that XLA fuses into one memory-bound pass:
+
+        dx[i, j] = sum over covering windows (p, q) of
+                   g[p, q] * (x[i, j] == y[p, q])
+
+    The equality is exact: reduce_window-max returns one of its inputs
+    bit-identically. Tie semantics differ from torch/select-and-scatter
+    (which route the gradient to ONE argmax): every position equal to the
+    window max receives the gradient. Positive-value ties are measure-zero
+    for float activations, and the one tie class that does occur — multiple
+    exact zeros after the preceding ReLU — is annihilated anyway because
+    ReLU's VJP is 0 at x <= 0."""
+    x, y = res
+    b, h, w, c = x.shape
+    ho, wo = y.shape[1], y.shape[2]
+    g = g.astype(x.dtype)
+    # "next window" shifts: pad with +inf so the equality can never match
+    # (and gradient 0), which handles the last odd row/col cleanly
+    inf = jnp.asarray(jnp.inf, x.dtype)
+    y_d = jnp.concatenate([y[:, 1:], jnp.full((b, 1, wo, c), inf, x.dtype)], axis=1)
+    g_d = jnp.concatenate([g[:, 1:], jnp.zeros((b, 1, wo, c), x.dtype)], axis=1)
+    y_r = jnp.concatenate([y[:, :, 1:], jnp.full((b, ho, 1, c), inf, x.dtype)], axis=2)
+    g_r = jnp.concatenate([g[:, :, 1:], jnp.zeros((b, ho, 1, c), x.dtype)], axis=2)
+    y_dr = jnp.concatenate([y_d[:, :, 1:], jnp.full((b, ho, 1, c), inf, x.dtype)], axis=2)
+    g_dr = jnp.concatenate([g_d[:, :, 1:], jnp.zeros((b, ho, 1, c), x.dtype)], axis=2)
+
+    x_ee = x[:, ::2, ::2]
+    x_oe = x[:, 1::2, ::2]
+    x_eo = x[:, ::2, 1::2]
+    x_oo = x[:, 1::2, 1::2]
+    dx_ee = jnp.where(x_ee == y, g, 0)
+    dx_oe = jnp.where(x_oe == y, g, 0) + jnp.where(x_oe == y_d, g_d, 0)
+    dx_eo = jnp.where(x_eo == y, g, 0) + jnp.where(x_eo == y_r, g_r, 0)
+    dx_oo = (
+        jnp.where(x_oo == y, g, 0)
+        + jnp.where(x_oo == y_d, g_d, 0)
+        + jnp.where(x_oo == y_r, g_r, 0)
+        + jnp.where(x_oo == y_dr, g_dr, 0)
+    )
+    even_rows = jnp.stack([dx_ee, dx_eo], axis=3).reshape(b, ho, w, c)
+    odd_rows = jnp.stack([dx_oe, dx_oo], axis=3).reshape(b, ho, w, c)
+    dx = jnp.stack([even_rows, odd_rows], axis=2).reshape(b, h, w, c)
+    return (dx,)
+
+
+_max_pool_3x3_s2_cmp.defvjp(_mp_fwd, _mp_bwd)
+
+
+def _max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
+    """Maxpool with the fast comparison VJP when the parity decomposition
+    applies (even H/W — always true for the 256->128 ResNet stem); XLA's
+    select-and-scatter gradient otherwise."""
+    if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        return _max_pool_3x3_s2_cmp(x)
+    return _reduce_window_max_3x3_s2(x)
 
 
 def keypoint_cnn_apply(

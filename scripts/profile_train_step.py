@@ -35,7 +35,7 @@ class ProfileConfig:
     batch_size: int = 256
     steps: int = 12  # traced steps after warmup
     variant: str = "full"  # full | fwd | fwdbwd
-    top_k: int = 25
+    top_k: int = 40
     # storage dtype of the incoming batch — "bfloat16" measures the
     # device-resident-dataset path (TrainConfig.device_data_dtype)
     input_dtype: str = "float32"
@@ -199,19 +199,35 @@ def main() -> None:
           f"({cfg.batch_size / per_step_ms * 1e3:,.0f} img/s)", flush=True)
 
     try:
-        rows = top_ops_from_trace(cfg.output_dir, cfg.top_k)
+        all_rows = top_ops_from_trace(cfg.output_dir, 100000)
     except Exception as exc:  # keep the timing even if parsing breaks
         print(f"[profile] xplane parse failed: {exc}", flush=True)
-        rows = []
+        all_rows = []
+    rows = all_rows[: cfg.top_k]
     total = sum(r["self_us"] for r in rows)
+    # category rollup over EVERY op (the round-4 top-25 left ~45% of the
+    # step unattributed in a long tail of small ops)
+    cats: dict[str, float] = {}
+    for r in all_rows:
+        cats[r["category"]] = cats.get(r["category"], 0.0) + r["self_us"]
+    cat_rows = sorted(cats.items(), key=lambda kv: -kv[1])
+    grand_total = sum(cats.values())
     for r in rows:
         print(f"  {r['self_us'] / cfg.steps:10.1f} us/step  x{r['n']:<5d} "
               f"{r['category']:<22s} {r['op']}", flush=True)
+    print(f"[profile] device total {grand_total / cfg.steps / 1e3:.2f} ms/step by category:",
+          flush=True)
+    for cat, us in cat_rows:
+        print(f"  {us / cfg.steps:10.1f} us/step  {cat}", flush=True)
     summary = {
         "variant": cfg.variant,
         "batch_size": cfg.batch_size,
         "ms_per_step": round(per_step_ms, 3),
         "images_per_sec": round(cfg.batch_size / per_step_ms * 1e3, 1),
+        "device_ms_per_step": round(grand_total / cfg.steps / 1e3, 3),
+        "category_totals_us_per_step": {
+            c: round(us / cfg.steps, 1) for c, us in cat_rows
+        },
         "top_ops": rows,
         "top_ops_total_us": total,
     }

@@ -28,3 +28,26 @@ jax.config.update("jax_enable_x64", True)
 
 assert jax.default_backend() == "cpu", "tests must not run on the TPU tunnel"
 assert jax.device_count() == 8, "tests expect the virtual 8-device CPU mesh"
+
+import pytest  # noqa: E402
+
+# Fast correctness tier: `pytest -m quick` gives a green/red signal in
+# ~2 min on a 1-core host (the full suite takes ~9 min serially). Whole
+# modules listed here are auto-marked; individual tests elsewhere can still
+# opt in with @pytest.mark.quick.
+_QUICK_MODULES = {
+    "test_lie",
+    "test_camera",
+    "test_augment_ops",
+    "test_data",
+    "test_labeler",
+    "test_cli_logging",
+    "test_maxpool_vjp",
+    "test_native_io",
+}
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        if item.module.__name__.rsplit(".", 1)[-1] in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
