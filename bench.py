@@ -76,10 +76,14 @@ def _load_bench_weights(n_keypoints: int = 8, num_channels: int = 4):
 
     from perseus_tpu.models import resnet
 
-    path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "outputs", "models", "scale_run", "final"
-    )
-    if os.path.exists(path):
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = None
+    for run in ("scale_run5", "scale_run"):  # newest at-scale run first
+        cand = os.path.join(root, "outputs", "models", run, "final")
+        if os.path.exists(cand):
+            path = cand
+            break
+    if path is not None:
         try:
             from perseus_tpu.train import checkpoint as ckpt
 
@@ -297,9 +301,14 @@ def read_scale_run_metrics() -> dict:
     throughput."""
     import os
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "outputs", "models", "scale_run", "metrics.json")
-    if not os.path.exists(path):
+    root = os.path.dirname(os.path.abspath(__file__))
+    path = None
+    for run in ("scale_run5", "scale_run"):  # newest at-scale run first
+        cand = os.path.join(root, "outputs", "models", run, "metrics.json")
+        if os.path.exists(cand):
+            path = cand
+            break
+    if path is None:
         return {}
     try:
         with open(path) as f:
@@ -317,6 +326,7 @@ def read_scale_run_metrics() -> dict:
         out = {k: m[k] for k in keys if m.get(k) is not None}
         out["scale_run_epochs"] = m.get("epochs")
         out["scale_run_train_frames"] = m.get("n_train")
+        out["scale_run_name"] = run
         return out
     except Exception as exc:
         print(f"[bench] scale-run metrics unreadable: {exc}", file=sys.stderr)
