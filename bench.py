@@ -316,6 +316,7 @@ def read_scale_run_metrics() -> dict:
         keys = [
             "val_rmse_px",
             "val_rmse_in_frame_px",
+            "val_oof_frame_rate",
             "val_median_corner_err_px",
             "val_p90_corner_err_px",
             "holdout_style_rmse_px",

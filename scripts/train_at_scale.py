@@ -319,6 +319,12 @@ def main() -> None:
         # outside the image (the split has frames with corners hundreds of px
         # out); the in-frame number is the detector-quality headline
         rmse_stats["val_rmse_in_frame_px"] = breakdown["corners_in_frame"]["rmse_px"]
+        n_in = breakdown["corners_in_frame"]["n"]
+        n_out = breakdown.get("corners_out_of_frame", {}).get("n", 0)
+        # split health: fraction of val frames with any GT corner outside
+        # the frame (the round-4 collision bug drove this to 0.82; the fixed
+        # distribution targets ~0.05-0.11)
+        rmse_stats["val_oof_frame_rate"] = n_out / max(n_in + n_out, 1)
     metrics = {
         **rmse_stats,
         "val_loss": result["final_val_loss"],
