@@ -17,7 +17,7 @@ Usage (two subprocesses, then compare):
     python scripts/pose_backend_check.py --platform cpu    --out /tmp/pose_cpu.npz
     python scripts/pose_backend_check.py --platform default --out /tmp/pose_tpu.npz \
         --fixed-keypoints /tmp/pose_cpu.npz
-    python scripts/pose_backend_check.py --compare /tmp/pose_cpu.npz /tmp/pose_tpu.npz
+    python scripts/pose_backend_check.py --compare /tmp/pose_cpu.npz,/tmp/pose_tpu.npz
 """
 
 from __future__ import annotations
