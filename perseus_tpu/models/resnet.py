@@ -312,11 +312,22 @@ def _mp_bwd(res, g):
 _max_pool_3x3_s2_cmp.defvjp(_mp_fwd, _mp_bwd)
 
 
+# Measured on-chip (outputs/profiles/r5_fwdbwd vs r4_fwdbwd): the
+# comparison VJP REGRESSES the train step 41.1 -> 49.7 ms/step. XLA
+# materializes the +inf-padded shift planes (pad_maximum_fusion, 1.6 ms),
+# spends 3.0 ms in the parity-compare loop fusion, and 1.6 ms in a layout
+# copy for the stack/reshape interleave — ~6.3 ms total vs
+# select-and-scatter's 2.15 ms. The decomposition is only a win inside a
+# single VMEM-resident kernel; as XLA-level ops it loses to the native
+# gradient, so it stays opt-in for kernel work and tests.
+MAXPOOL_CMP_VJP = False
+
+
 def _max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
-    """Maxpool with the fast comparison VJP when the parity decomposition
-    applies (even H/W — always true for the 256->128 ResNet stem); XLA's
-    select-and-scatter gradient otherwise."""
-    if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+    """Maxpool via XLA's reduce_window; its select-and-scatter gradient
+    measures FASTER end-to-end than the comparison-based VJP (see
+    MAXPOOL_CMP_VJP above), which needs even H/W when enabled."""
+    if MAXPOOL_CMP_VJP and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
         return _max_pool_3x3_s2_cmp(x)
     return _reduce_window_max_3x3_s2(x)
 
