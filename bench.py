@@ -322,6 +322,13 @@ def read_scale_run_metrics() -> dict:
             "holdout_style_rmse_px",
             "pose_rmse_mm",
             "pose_rmse_deg",
+            # pooled over many trajectories (scripts/eval_pose_multi.py);
+            # the single-video pose_rmse_* above has only ~12 scored frames
+            "pose_multi_rmse_deg",
+            "pose_multi_rmse_mm",
+            "pose_multi_median_deg",
+            "pose_multi_median_mm",
+            "pose_multi_n_frames",
             "val_loss",
         ]
         out = {k: m[k] for k in keys if m.get(k) is not None}

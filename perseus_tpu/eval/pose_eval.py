@@ -169,6 +169,10 @@ def evaluate_pose_tracking(
         "n_frames": int(t),
         "abs_scale": abs_scale,
         "window": window,
+        # per-frame error vectors so multi-video callers can pool exact
+        # medians/percentiles instead of aggregating per-job aggregates
+        "per_frame_rot_deg": rerr_deg.tolist(),
+        "per_frame_trans_mm": (terr * unit_to_mm).tolist(),
     }
 
 
