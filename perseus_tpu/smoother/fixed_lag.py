@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from perseus_tpu.camera import Intrinsics
 from perseus_tpu.lie import SE3, se3_identity
 from perseus_tpu.smoother.lm import SmootherConfig, WindowState, lm_solve, predict_next
+from perseus_tpu.smoother.residuals import keypoint_projection_residual
 
 __all__ = ["FixedLagSmoother", "SmootherCarry"]
 
@@ -38,6 +39,7 @@ class SmootherCarry(NamedTuple):
     prior_ang_vel: jnp.ndarray  # (3,)
     prior_vel: jnp.ndarray  # (3,)
     frames_seen: jnp.ndarray  # scalar int32
+    consec_rejects: jnp.ndarray  # scalar int32 — innovation-gate state
 
 
 class FixedLagSmoother:
@@ -78,6 +80,7 @@ class FixedLagSmoother:
             prior_ang_vel=jnp.zeros((3,), dtype=self.dtype),
             prior_vel=jnp.zeros((3,), dtype=self.dtype),
             frames_seen=jnp.asarray(0, dtype=jnp.int32),
+            consec_rejects=jnp.asarray(0, dtype=jnp.int32),
         )
 
     def coarse_pose_from_keypoints(self, keypoints_px: jnp.ndarray) -> SE3:
@@ -157,7 +160,27 @@ class FixedLagSmoother:
         measurements = jnp.concatenate(
             [carry.measurements[1:], keypoints_px[None].astype(self.dtype)], axis=0
         )
-        valid = jnp.concatenate([carry.valid[1:], jnp.ones((1,), dtype=self.dtype)])
+
+        # Innovation gate (SmootherConfig.gate_px): whole-frame detector
+        # failures (identity switch to a distractor) move every corner
+        # coherently, so the per-corner robust kernel sees no outliers —
+        # the MEDIAN innovation against the dynamics prediction is the
+        # discriminator. A gated frame keeps its measurement slot but
+        # enters the graph with valid=0: the window coasts on dynamics.
+        accept = jnp.ones((), dtype=self.dtype)
+        consec = jnp.asarray(0, dtype=jnp.int32)
+        if cfg.gate_px > 0.0:
+            innov = keypoint_projection_residual(
+                pred_pose, self.intrinsics, keypoints_px.astype(self.dtype),
+                self.points_body.astype(self.dtype), self.camera_pose,
+            )
+            med = jnp.median(jnp.linalg.norm(innov, axis=-1))
+            warm = carry.frames_seen >= cfg.gate_min_frames
+            force = carry.consec_rejects >= cfg.gate_max_consec
+            reject = warm & (med > cfg.gate_px) & jnp.logical_not(force)
+            accept = jnp.where(reject, 0.0, 1.0).astype(self.dtype)
+            consec = jnp.where(reject, carry.consec_rejects + 1, 0)
+        valid = jnp.concatenate([carry.valid[1:], accept[None]])
 
         window, _ = lm_solve(
             cfg,
@@ -181,5 +204,6 @@ class FixedLagSmoother:
             prior_ang_vel=prior_w,
             prior_vel=prior_v,
             frames_seen=carry.frames_seen + 1,
+            consec_rejects=consec,
         )
         return new_carry, SE3(window.rot[-1], window.trans[-1])

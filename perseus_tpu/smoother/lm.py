@@ -91,6 +91,22 @@ class SmootherConfig:
     robust_keypoint_delta: float = 3.0
     robust_kernel: str = "huber"
 
+    # Innovation gate on whole-frame detector failures. Identity switches —
+    # the detector locking onto a cube-like distractor — shift ALL corners
+    # coherently (~60-100 px measured on the round-5 pose trajectory, frames
+    # 4-5/14-16), which per-corner robust kernels cannot reject: the median
+    # residual IS the outlier. A frame whose MEDIAN innovation (dynamics-
+    # predicted projection vs measurement, in pixels) exceeds gate_px is
+    # dropped from the graph (its valid weight is zeroed) and the window
+    # coasts on the dynamics factors. gate_max_consec force-accepts after
+    # that many consecutive rejections so a genuine track change re-acquires
+    # instead of being rejected forever; gate_min_frames suppresses the gate
+    # until the window has enough real measurements for the prediction to
+    # mean anything. gate_px=0 disables.
+    gate_px: float = 30.0
+    gate_max_consec: int = 3
+    gate_min_frames: int = 4
+
     max_iterations: int = 8
     lambda_init: float = 1e-4
     lambda_up: float = 10.0

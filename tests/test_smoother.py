@@ -382,3 +382,73 @@ def test_block_tridiag_solver_matches_dense():
     x_block = np.asarray(solve_block_tridiag(d, u, rhs)).reshape(-1)
     x_dense = np.linalg.solve(dense, np.asarray(rhs).reshape(-1))
     np.testing.assert_allclose(x_block, x_dense, atol=1e-9)
+
+
+def test_innovation_gate_rejects_identity_switch():
+    """Whole-frame coherent detector failures (identity switch to a
+    distractor: ALL corners shift together, the round-5 pose-trajectory
+    failure at ~60-100 px) defeat per-corner robust kernels — the median
+    residual IS the outlier. The innovation gate (SmootherConfig.gate_px)
+    must coast through such frames on dynamics; with the gate off the same
+    stream must track measurably worse."""
+    t_frames = 16
+    window = 6
+    k, corners, gt_poses, meas, twist = _simulate(t_frames, noise_px=0.2)
+    meas_np = np.asarray(meas).copy()
+    # two identity-switch bursts after warmup: every corner shifted together
+    for i in (9, 10, 13):
+        meas_np[i] += np.asarray([70.0, -55.0])
+    meas_bad = jnp.asarray(meas_np)
+
+    def track(gate_px):
+        cfg = SmootherConfig(
+            window=window, dt=DT, vel_frame="body", max_iterations=6,
+            sigma_prior_pose=1.0, sigma_prior_vel=10.0, gate_px=gate_px,
+        )
+        smoother = FixedLagSmoother(cfg, k, corners, dtype=jnp.float64)
+        carry = smoother.init(initial_pose=gt_poses[0])
+        update = jax.jit(smoother.update)
+        errs, rejects = [], []
+        for i in range(t_frames):
+            carry, pose = update(carry, meas_bad[i])
+            errs.append(float(jnp.linalg.norm(lie.se3_log(lie.se3_between(pose, gt_poses[i])))))
+            rejects.append(int(carry.consec_rejects))
+        return errs, rejects
+
+    errs_gated, rejects = track(30.0)
+    errs_off, _ = track(0.0)
+    # the gate fired exactly on the corrupted frames...
+    assert rejects[9] == 1 and rejects[10] == 2 and rejects[13] == 1, rejects
+    assert sum(1 for r in rejects if r > 0) == 3, rejects
+    # ...kept the corrupted-frame estimates near GT (dynamics coasting)...
+    assert max(errs_gated[window:]) < 5e-2, errs_gated
+    # ...and beats the ungated tracker by a wide margin on those frames
+    assert max(errs_off[9:11]) > 5 * max(errs_gated[9:11]), (errs_off, errs_gated)
+
+
+def test_innovation_gate_force_accepts_after_consecutive_rejects():
+    """A genuine track change (the 'detector' permanently re-locks) must be
+    re-acquired: after gate_max_consec consecutive rejections the gate
+    force-accepts, instead of rejecting the new track forever."""
+    t_frames = 18
+    window = 6
+    shift_at = 9
+    k, corners, gt_poses, meas, twist = _simulate(t_frames, noise_px=0.2)
+    meas_np = np.asarray(meas).copy()
+    meas_np[shift_at:] += np.asarray([80.0, -60.0])  # permanent re-lock
+    meas_bad = jnp.asarray(meas_np)
+    cfg = SmootherConfig(
+        window=window, dt=DT, vel_frame="body", max_iterations=6,
+        sigma_prior_pose=1.0, sigma_prior_vel=10.0, gate_px=30.0, gate_max_consec=3,
+    )
+    smoother = FixedLagSmoother(cfg, k, corners, dtype=jnp.float64)
+    carry = smoother.init(initial_pose=gt_poses[0])
+    update = jax.jit(smoother.update)
+    rejects = []
+    for i in range(t_frames):
+        carry, pose = update(carry, meas_bad[i])
+        rejects.append(int(carry.consec_rejects))
+    # 3 rejects, then a forced accept resets the counter; once the window
+    # re-converges onto the shifted track the gate stays quiet
+    assert rejects[shift_at : shift_at + 4] == [1, 2, 3, 0], rejects
+    assert all(r == 0 for r in rejects[shift_at + 6 :]), rejects
