@@ -322,12 +322,30 @@ _max_pool_3x3_s2_cmp.defvjp(_mp_fwd, _mp_bwd)
 # gradient, so it stays opt-in for kernel work and tests.
 MAXPOOL_CMP_VJP = False
 
+# The "single VMEM-resident kernel" the note above calls for
+# (models/pool_pallas.py): forward and comparison-gradient each as one
+# Pallas kernel. ALSO a measured on-chip regression (43.7 -> 76.3 ms/step,
+# outputs/profiles/r5_fwdbwd_mpk): Mosaic v5e cannot stride-2-slice or
+# minor-dim-reshape vectors, so the kernel needs its input pre-packed as
+# (B, H, W/2, 2C), and THAT reshape is a real tiled-layout change XLA
+# materializes as ~1.7 ms HBM copies on every operand/result boundary
+# (copy.73/.97/.98 in the profile), plus broken fusions around the custom
+# calls. The kernels themselves are correct (golden-tested) and stay
+# opt-in; select-and-scatter remains the measured-fastest lowering.
+MAXPOOL_PALLAS = False
+
 
 def _max_pool_3x3_s2(x: jnp.ndarray) -> jnp.ndarray:
-    """Maxpool via XLA's reduce_window; its select-and-scatter gradient
-    measures FASTER end-to-end than the comparison-based VJP (see
-    MAXPOOL_CMP_VJP above), which needs even H/W when enabled."""
-    if MAXPOOL_CMP_VJP and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+    """Maxpool via one of three lowerings: a fused Pallas kernel on TPU
+    (default; see MAXPOOL_PALLAS), XLA reduce_window + select-and-scatter
+    (default off-TPU), or the XLA-level comparison VJP (opt-in, a measured
+    regression kept for kernel tests). Non-XLA paths need even H/W."""
+    even = x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+    if MAXPOOL_PALLAS and even and jax.default_backend() == "tpu":
+        from perseus_tpu.models.pool_pallas import max_pool_3x3_s2_pallas
+
+        return max_pool_3x3_s2_pallas(x, False)
+    if MAXPOOL_CMP_VJP and even:
         return _max_pool_3x3_s2_cmp(x)
     return _reduce_window_max_3x3_s2(x)
 

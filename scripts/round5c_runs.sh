@@ -66,7 +66,7 @@ for s in $stages; do case $s in
     W=outputs/models/scale_run5/difficulty_weights.npy
     WARG=""
     [ -f "$W" ] && WARG="--sample-weights-path $W"
-    run final5b 9600 python scripts/train_at_scale.py --epochs 450 \
+    run final5b 8400 python scripts/train_at_scale.py --epochs 450 \
       $DATA5 $OP5 $EVAL5 --skip-prepare \
       --output-dir outputs/models/scale_run5b --head spatial --ema-decay 0.9 \
       --oversample-outframe 1.0 --outframe-corner-weight 0.3 $WARG
