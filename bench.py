@@ -26,6 +26,7 @@ Secondary numbers (printed to stderr): smoother p50 update latency and
 blocking single-call latency for reference.
 """
 
+import functools
 import json
 import os
 import subprocess
@@ -289,7 +290,9 @@ def bench_train_step() -> float:
     step = tm.make_train_step(cfg, optimizer, aug)
     k = 16
 
-    @jax.jit
+    from perseus_tpu.utils.xla_opts import tpu_compiler_options
+
+    @functools.partial(jax.jit, compiler_options=tpu_compiler_options())
     def run(st, img, crd, key):
         def body(carry, i):
             st, img = carry

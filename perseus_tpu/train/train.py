@@ -716,11 +716,15 @@ def train(cfg: TrainConfig) -> dict:
     step_in_shardings = (replicated, data_sharded, data_sharded, None) + (
         (data_sharded,) if cfg.use_example_weights else ()
     )
+    from perseus_tpu.utils.xla_opts import tpu_compiler_options
+
+    xla_opts = tpu_compiler_options()
     train_step = jax.jit(
         make_train_step(cfg, optimizer, train_augment, mesh=mesh),
         in_shardings=step_in_shardings,
         out_shardings=(replicated, replicated),
         donate_argnums=(0,),
+        compiler_options=xla_opts,
     )
     eval_step = jax.jit(
         make_eval_step(cfg, val_augment),
@@ -745,6 +749,7 @@ def train(cfg: TrainConfig) -> dict:
             in_shardings=dd_step_shardings,
             out_shardings=(replicated, replicated),
             donate_argnums=(0,),
+            compiler_options=xla_opts,
         )
         dd_eval_step = jax.jit(
             make_device_data_eval_step(cfg, val_augment, mesh=mesh),
@@ -758,6 +763,7 @@ def train(cfg: TrainConfig) -> dict:
             + ((data_sharded,) if cfg.use_example_weights else ()),
             out_shardings=(replicated, replicated),
             donate_argnums=(0,),
+            compiler_options=xla_opts,
         )
 
     scheduler = PlateauScheduler(

@@ -178,7 +178,9 @@ def main() -> None:
 
     cfg = cli(ProfileConfig)
     run, state, batch = build_step(cfg)
-    step = jax.jit(run, donate_argnums=0)
+    from perseus_tpu.utils.xla_opts import tpu_compiler_options
+
+    step = jax.jit(run, donate_argnums=0, compiler_options=tpu_compiler_options())
 
     t0 = time.time()
     state, loss = step(state, jnp.int32(0), *batch)
