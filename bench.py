@@ -69,18 +69,24 @@ def _time_salted(prepare, execute, reps: int = 3, warmups: int = 2) -> float:
     return min(times)
 
 
-def _select_scale_run(root) -> "str | None":
-    """Pick the flagship at-scale run: the COMPLETE run (checkpoint +
-    metrics both written) with the lowest raw val RMSE. Runs train on the
-    same split, so this is ordinary val-metric model selection; the
-    recency order only breaks ties / missing-metric cases."""
+def _select_scale_run(root, require_checkpoint: bool = False) -> "str | None":
+    """Pick the flagship at-scale run: the run with the lowest raw val RMSE
+    among those whose metrics.json is committed. Runs train on the same
+    split, so this is ordinary val-metric model selection.
+
+    ``require_checkpoint`` additionally demands the ``final/`` weights on
+    disk — needed when the caller wants to LOAD the model. Checkpoints are
+    run products (gitignored); the bench host is reimaged between rounds,
+    so metrics fold-in must not be held hostage to a wiped checkpoint —
+    the committed metrics.json IS the durable record of the run."""
     import os
 
     best, best_rmse = None, None
     for run in ("scale_run5b", "scale_run5", "scale_run"):
         d = os.path.join(root, "outputs", "models", run)
-        if not (os.path.exists(os.path.join(d, "final"))
-                and os.path.exists(os.path.join(d, "metrics.json"))):
+        if not os.path.exists(os.path.join(d, "metrics.json")):
+            continue
+        if require_checkpoint and not os.path.exists(os.path.join(d, "final")):
             continue
         try:
             with open(os.path.join(d, "metrics.json")) as f:
@@ -101,7 +107,7 @@ def _load_bench_weights(n_keypoints: int = 8, num_channels: int = 4):
     from perseus_tpu.models import resnet
 
     root = os.path.dirname(os.path.abspath(__file__))
-    run = _select_scale_run(root)
+    run = _select_scale_run(root, require_checkpoint=True)
     path = None
     if run is not None:
         cand = os.path.join(root, "outputs", "models", run, "final")

@@ -356,6 +356,7 @@ def keypoint_cnn_apply(
     x: jnp.ndarray,
     train: bool = False,
     compute_dtype: Any = jnp.float32,
+    s2d_stem: bool = False,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
     """Forward pass.
 
@@ -365,12 +366,36 @@ def keypoint_cnn_apply(
         x: images, NHWC, (B, H, W, C), float.
         train: batch-stats BN + running-stat updates when True.
         compute_dtype: conv/matmul dtype (bf16 on TPU; params remain f32).
-
-    Returns:
-        (outputs (B, 2*n_keypoints) float32, updated batch_stats).
+        s2d_stem: run the stem as the equivalent 4x4 stride-1 conv over
+            space-to-depth(2) input (see :func:`space_to_depth_stem_kernel`).
+            Checkpoints are unchanged — the canonical 7x7 kernel stays the
+            stored parameter and the rearrangement is traced into the jitted
+            step, so its VJP routes the 4x4 filter gradient back onto the
+            7x7 weight exactly. The hypothesis was that the TRAINING stem
+            would win where the folded-inference one lost: it also pays the
+            conv1 filter-gradient conv — the largest single conv op in the
+            round-4/5 profiles at 1.81 ms/step — whose contraction is 4x
+            deeper in s2d form. MEASURED on v5e (fwdbwd b=256): a NET
+            REGRESSION, 37.7 -> 38.8 device ms/step. The filter grad only
+            improved 1.81 -> 1.70 ms (it is memory-bound on the 256-image
+            input, not MXU-lane-bound) while the packing transpose costs
+            +1.15 ms of data formatting. Stays opt-in for chips where the
+            narrow stem actually binds.
     """
     new_stats = dict(stats) if train else None
-    out = _conv(x, params["conv1.weight"], 2, 3, compute_dtype)
+    if s2d_stem and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        w2 = space_to_depth_stem_kernel(params["conv1.weight"])
+        precision = None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+        out = jax.lax.conv_general_dilated(
+            space_to_depth(x).astype(compute_dtype),
+            w2.astype(compute_dtype),
+            window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            precision=precision,
+        )
+    else:
+        out = _conv(x, params["conv1.weight"], 2, 3, compute_dtype)
     out = _batchnorm(out, params, stats, "bn1", train, new_stats)
     out = jax.nn.relu(out)
     out = _max_pool_3x3_s2(out)

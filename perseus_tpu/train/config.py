@@ -56,6 +56,12 @@ class TrainConfig:
     # bf16 matmul/conv compute (the TPU equivalent of the reference's amp).
     amp: bool = True
 
+    # Run the stem as the equivalent 4x4 stride-1 conv over space-to-depth(2)
+    # input (models/resnet.py::space_to_depth_stem_kernel) in the TRAIN and
+    # VAL steps. Numerically equivalent reparametrization; checkpoints are
+    # unchanged (the 7x7 kernel stays the stored parameter).
+    s2d_stem: bool = False
+
     # Random seed.
     random_seed: int = 42
 

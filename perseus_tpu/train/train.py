@@ -232,7 +232,8 @@ def make_train_step(
 
         def loss_fn(params):
             pred, new_stats = resnet.keypoint_cnn_apply(
-                params, state.batch_stats, images, train=True, compute_dtype=compute_dtype
+                params, state.batch_stats, images, train=True, compute_dtype=compute_dtype,
+                s2d_stem=cfg.s2d_stem,
             )
             aux = cfg.spread_loss_weight * spread_loss(pred) if cfg.spread_loss_weight else 0.0
             if weights is None:
@@ -492,7 +493,8 @@ def make_eval_step(cfg: TrainConfig, val_augment: KeypointAugmentation):
         images = images[..., : cfg.in_channels]
         target = target.reshape(target.shape[0], -1)
         pred, _ = resnet.keypoint_cnn_apply(
-            state.params, state.batch_stats, images, train=False, compute_dtype=compute_dtype
+            state.params, state.batch_stats, images, train=False, compute_dtype=compute_dtype,
+            s2d_stem=cfg.s2d_stem,
         )
         per_elem = jnp.mean(optax.huber_loss(pred, target, delta=1.0), axis=-1)
         return jnp.sum(per_elem * weights), jnp.sum(weights)

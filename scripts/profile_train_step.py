@@ -39,6 +39,8 @@ class ProfileConfig:
     # storage dtype of the incoming batch — "bfloat16" measures the
     # device-resident-dataset path (TrainConfig.device_data_dtype)
     input_dtype: str = "float32"
+    # A/B the space-to-depth stem reparametrization (TrainConfig.s2d_stem)
+    s2d_stem: bool = False
 
 
 def build_step(cfg: ProfileConfig):
@@ -55,7 +57,7 @@ def build_step(cfg: ProfileConfig):
     from perseus_tpu.train.config import TrainConfig
 
     b = cfg.batch_size
-    tcfg = TrainConfig(batch_size=b, in_channels=4, amp=True)
+    tcfg = TrainConfig(batch_size=b, in_channels=4, amp=True, s2d_stem=cfg.s2d_stem)
     rng = np.random.default_rng(3)
     images = jnp.asarray(rng.uniform(0, 1, (b, 256, 256, 5)).astype(np.float32))
     images = images.astype(jnp.dtype(cfg.input_dtype))
@@ -82,7 +84,7 @@ def build_step(cfg: ProfileConfig):
         def run(st, i, xb, tgt):
             logits, _ = resnet.keypoint_cnn_apply(
                 st.params, st.batch_stats, xb + i * 0.0, train=True,
-                compute_dtype=jnp.bfloat16,
+                compute_dtype=jnp.bfloat16, s2d_stem=cfg.s2d_stem,
             )
             return st, jnp.mean((logits - tgt) ** 2)
 
@@ -93,7 +95,7 @@ def build_step(cfg: ProfileConfig):
         def loss_fn(params, st, i, xb, tgt):
             logits, new_stats = resnet.keypoint_cnn_apply(
                 params, st.batch_stats, xb + i * 0.0, train=True,
-                compute_dtype=jnp.bfloat16,
+                compute_dtype=jnp.bfloat16, s2d_stem=cfg.s2d_stem,
             )
             return tm.smooth_l1_loss(logits, tgt), new_stats
 

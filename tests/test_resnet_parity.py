@@ -138,3 +138,32 @@ def test_space_to_depth_stem_equivalent():
     a = resnet.keypoint_cnn_apply_folded(folded, x, compute_dtype=jnp.float32, s2d_stem=False)
     b = resnet.keypoint_cnn_apply_folded(folded, x, compute_dtype=jnp.float32, s2d_stem=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_space_to_depth_stem_train_grads_equivalent():
+    """TrainConfig.s2d_stem: the training path with the space-to-depth stem
+    must match the plain 7x7/s2 stem in loss, BN stat updates, AND the
+    parameter gradients — in particular conv1.weight's gradient must route
+    back through the kernel rearrangement exactly."""
+    from perseus_tpu.models import resnet
+
+    params, stats = resnet.init_keypoint_cnn(jax.random.key(7), 8, 4)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 64, 64, 4)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-1, 1, (2, 16)).astype(np.float32))
+
+    def loss(p, s2d):
+        out, new_stats = resnet.keypoint_cnn_apply(
+            p, stats, x, train=True, compute_dtype=jnp.float32, s2d_stem=s2d
+        )
+        return jnp.mean((out - tgt) ** 2), new_stats
+
+    (la, sa), ga = jax.value_and_grad(loss, has_aux=True)(params, False)
+    (lb, sb), gb = jax.value_and_grad(loss, has_aux=True)(params, True)
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-5)
+    for k in sa:
+        np.testing.assert_allclose(np.asarray(sa[k]), np.asarray(sb[k]), atol=1e-5, err_msg=k)
+    for k in ga:
+        np.testing.assert_allclose(
+            np.asarray(ga[k]), np.asarray(gb[k]), atol=2e-4, rtol=1e-3, err_msg=k
+        )
