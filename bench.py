@@ -82,7 +82,7 @@ def _select_scale_run(root, require_checkpoint: bool = False) -> "str | None":
     import os
 
     best, best_rmse = None, None
-    for run in ("scale_run5b", "scale_run5", "scale_run"):
+    for run in ("scale_run6", "scale_run5b", "scale_run5", "scale_run"):
         d = os.path.join(root, "outputs", "models", run)
         if not os.path.exists(os.path.join(d, "metrics.json")):
             continue
@@ -363,6 +363,21 @@ def read_scale_run_metrics() -> dict:
         out["scale_run_epochs"] = m.get("epochs")
         out["scale_run_train_frames"] = m.get("n_train")
         out["scale_run_name"] = run
+        if "pose_multi_rmse_deg" not in out:
+            # The pooled pose metric post-dates the flagship run, whose
+            # checkpoint was wiped with the host — report it from the best
+            # run that HAS it, explicitly labeled so nothing is conflated.
+            for other in ("scale_run6", "scale_run5b", "scale_run5", "scale_run"):
+                p2 = os.path.join(root, "outputs", "models", other, "metrics.json")
+                if other == run or not os.path.exists(p2):
+                    continue
+                with open(p2) as f:
+                    m2 = json.load(f)
+                pm = {k: m2[k] for k in keys if k.startswith("pose_multi") and m2.get(k) is not None}
+                if pm:
+                    out.update(pm)
+                    out["pose_multi_run_name"] = other
+                    break
         return out
     except Exception as exc:
         print(f"[bench] scale-run metrics unreadable: {exc}", file=sys.stderr)
