@@ -80,6 +80,13 @@ class TrainConfig:
     # measured without torchvision weights in the image) feeds fine-tuning.
     init_backbone: str = ""
 
+    # With init_backbone: ALSO copy the fc head when its shapes match —
+    # a full warm start (params + BN stats, fresh optimizer/LR/epoch) for
+    # continued training of the SAME architecture on a grown corpus. Unlike
+    # --resume this does not restore the finished run's floored LR or epoch
+    # counter, so the plateau schedule re-anneals on the new data.
+    init_head: bool = False
+
     # Resume a previous run exactly (params, optimizer state, epoch, LR
     # schedule) from its orbax checkpoint dir. The reference has no resume
     # path (SURVEY.md section 5); here restart-from-checkpoint is the

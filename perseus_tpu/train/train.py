@@ -573,7 +573,7 @@ def init_state(cfg: TrainConfig, optimizer: optax.GradientTransformation, mesh) 
             # fresh — its fan-in may differ from the pretrain task's head)
             pre_params, pre_stats = ckpt.load_model(cfg.init_backbone)
             for k, v in pre_params.items():
-                if not k.startswith("fc.") and k in params:
+                if (cfg.init_head or not k.startswith("fc.")) and k in params:
                     if params[k].shape != jnp.asarray(v).shape:
                         raise ValueError(
                             f"init_backbone shape mismatch at {k}: "

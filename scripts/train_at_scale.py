@@ -62,6 +62,9 @@ class ScaleRunConfig:
     # Backbone-only init from a proxy-pretrained checkpoint
     # (scripts/pretrain_backbone.py) — the reference's fine-tune recipe.
     init_backbone: str = ""
+    # with init_backbone: also copy the fc head (full warm start; see
+    # TrainConfig.init_head)
+    init_head: bool = False
     # LR plateau schedule. The round-3 renderer's harder domain needs many
     # more epochs at the base LR before corner identity locks in: the default
     # patience-5/0.25x schedule decays to the floor while the model is still
@@ -266,6 +269,7 @@ def main() -> None:
         spread_loss_weight=cfg.spread_loss_weight,
         ema_decay=cfg.ema_decay,
         init_backbone=cfg.init_backbone,
+        init_head=cfg.init_head,
         plateau_patience=cfg.plateau_patience,
         plateau_factor=cfg.plateau_factor,
         resume=cfg.resume,

@@ -477,3 +477,41 @@ def test_data_on_device_bf16_storage(tiny_cfg):
     result = train_mod.train(cfg)
     assert np.isfinite(result["final_train_loss"])
     assert np.isfinite(result["final_val_loss"])
+
+
+@pytest.mark.quick
+def test_init_backbone_head_copy(tiny_cfg, tmp_path):
+    """init_backbone copies everything but fc.*; init_head=True extends the
+    copy to the matching fc head (the full warm start used to continue a
+    finished run on a grown corpus with a fresh LR schedule)."""
+    import dataclasses
+
+    from perseus_tpu.train import checkpoint as ckpt
+
+    mesh = train_mod.make_mesh()
+    opt = train_mod.make_optimizer(tiny_cfg)
+    src = train_mod.init_state(tiny_cfg, opt, mesh)
+    ckpt_dir = str(tmp_path / "warm_src")
+    ckpt.save_train_state(
+        ckpt_dir, {"params": src.params, "batch_stats": src.batch_stats}
+    )
+
+    fc_keys = [k for k in src.params if k.startswith("fc.")]
+    assert fc_keys, "expected an fc head in the param dict"
+
+    for init_head, fc_should_match in ((False, False), (True, True)):
+        cfg2 = dataclasses.replace(
+            tiny_cfg, random_seed=tiny_cfg.random_seed + 1,
+            init_backbone=ckpt_dir, init_head=init_head,
+        )
+        state = train_mod.init_state(cfg2, opt, mesh)
+        # backbone always transfers
+        np.testing.assert_array_equal(
+            np.asarray(state.params["conv1.weight"]),
+            np.asarray(src.params["conv1.weight"]),
+        )
+        fc_match = all(
+            np.array_equal(np.asarray(state.params[k]), np.asarray(src.params[k]))
+            for k in fc_keys
+        )
+        assert fc_match == fc_should_match
