@@ -82,7 +82,7 @@ def _select_scale_run(root, require_checkpoint: bool = False) -> "str | None":
     import os
 
     best, best_rmse = None, None
-    for run in ("scale_run6", "scale_run5b", "scale_run5", "scale_run"):
+    for run in ("scale_run7", "scale_run6", "scale_run5b", "scale_run5", "scale_run"):
         d = os.path.join(root, "outputs", "models", run)
         if not os.path.exists(os.path.join(d, "metrics.json")):
             continue
@@ -367,7 +367,7 @@ def read_scale_run_metrics() -> dict:
             # The pooled pose metric post-dates the flagship run, whose
             # checkpoint was wiped with the host — report it from the best
             # run that HAS it, explicitly labeled so nothing is conflated.
-            for other in ("scale_run6", "scale_run5b", "scale_run5", "scale_run"):
+            for other in ("scale_run7", "scale_run6", "scale_run5b", "scale_run5", "scale_run"):
                 p2 = os.path.join(root, "outputs", "models", other, "metrics.json")
                 if other == run or not os.path.exists(p2):
                     continue
