@@ -55,9 +55,12 @@ for s in $stages; do case $s in
     if [ -n "${TPU_WAIT_PID:-}" ]; then
       while kill -0 "$TPU_WAIT_PID" 2>/dev/null; do sleep 20; done
     fi
-    # expected cost at 300 epochs ~4,400s (train wall + refreshes + evals);
-    # degrade the schedule rather than lose the run to the deadline
-    EP=300
+    # expected cost ~12s/epoch-equivalent all-in (train wall + refreshes +
+    # evals + compile); pick the deepest schedule that fits the deadline —
+    # the staged round-5c hypothesis was that a longer schedule breaks the
+    # 12 px bar (scale_run5's val loss was still falling at epoch 300)
+    EP=400
+    [ "$(left)" -lt 6600 ] && EP=300
     [ "$(left)" -lt 5400 ] && EP=200
     [ "$(left)" -lt 4000 ] && EP=120
     run final7 7200 python scripts/train_at_scale.py --epochs $EP \
