@@ -3,7 +3,12 @@
 # option (utils/xla_opts.py) once the accuracy/pose stages release the chip.
 # Each profile is ~3 min; the sweep stops early if the first option loses.
 #
-# Usage: WAIT_PID=<round5c shell pid> bash scripts/round5d_perf.sh
+# The baseline is RE-MEASURED first in the same window: fwdbwd wall numbers
+# drift ~1-2 ms between sessions (tunnel/host variance: 43.7 session 1,
+# 42.1 session 2), so comparing a fresh option run against a stored
+# baseline would bury a small win or fake one.
+#
+# Usage: WAIT_PID=<accuracy-stage shell pid> bash scripts/round5d_perf.sh
 set -u
 cd "$(dirname "$0")/.."
 LOG=outputs/round5_logs
@@ -16,8 +21,10 @@ echo "=== [$(date +%H:%M:%S)] starting round5d perf sweep" | tee -a "$LOG/driver
 
 ms() { python -c "import json,sys;print(json.load(open(sys.argv[1]))['ms_per_step'])" "$1" 2>/dev/null || echo 99999; }
 
-BASE=$(ms outputs/profiles/r5_fwdbwd_rev/summary_fwdbwd.json)
-echo "baseline fwdbwd: $BASE ms" | tee -a "$LOG/driver.log"
+timeout 1200 python scripts/profile_train_step.py --variant fwdbwd \
+  --output-dir outputs/profiles/r5_fwdbwd_base3 > "$LOG/prof_base3.log" 2>&1
+BASE=$(ms outputs/profiles/r5_fwdbwd_base3/summary_fwdbwd.json)
+echo "=== [$(date +%H:%M:%S)] fresh baseline fwdbwd: $BASE ms" | tee -a "$LOG/driver.log"
 
 PERSEUS_COMPILER_OPTIONS=xla_tpu_scoped_vmem_limit_kib=65536 \
   timeout 1200 python scripts/profile_train_step.py --variant fwdbwd \
