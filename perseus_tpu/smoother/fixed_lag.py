@@ -164,23 +164,62 @@ class FixedLagSmoother:
         # Innovation gate (SmootherConfig.gate_px): whole-frame detector
         # failures (identity switch to a distractor) move every corner
         # coherently, so the per-corner robust kernel sees no outliers —
-        # the MEDIAN innovation against the dynamics prediction is the
-        # discriminator. A gated frame keeps its measurement slot but
-        # enters the graph with valid=0: the window coasts on dynamics.
+        # the MEDIAN innovation is the discriminator. The measurement is
+        # tested against BOTH the dynamics prediction and the last smoothed
+        # pose and accepted if it agrees with EITHER: a frame consistent
+        # with the last fit but not the prediction means the VELOCITY state
+        # is wrong, not the detection (the scale_run6 pose_multi limit
+        # cycle: contaminated velocities make the coast fly away, the gate
+        # then rejects perfect detections 3-at-a-time forever). A gated
+        # frame keeps its measurement slot but enters the graph with
+        # valid=0: the window coasts on dynamics.
         accept = jnp.ones((), dtype=self.dtype)
         consec = jnp.asarray(0, dtype=jnp.int32)
+        do_reset = jnp.asarray(False)
         if cfg.gate_px > 0.0:
-            innov = keypoint_projection_residual(
-                pred_pose, self.intrinsics, keypoints_px.astype(self.dtype),
-                self.points_body.astype(self.dtype), self.camera_pose,
-            )
-            med = jnp.median(jnp.linalg.norm(innov, axis=-1))
+            kp = keypoints_px.astype(self.dtype)
+            pts = self.points_body.astype(self.dtype)
+
+            def med_innov(pose):
+                innov = keypoint_projection_residual(
+                    pose, self.intrinsics, kp, pts, self.camera_pose
+                )
+                return jnp.median(jnp.linalg.norm(innov, axis=-1))
+
+            med = jnp.minimum(med_innov(pred_pose), med_innov(SE3(w.rot[-1], w.trans[-1])))
             warm = carry.frames_seen >= cfg.gate_min_frames
             force = carry.consec_rejects >= cfg.gate_max_consec
-            reject = warm & (med > cfg.gate_px) & jnp.logical_not(force)
+            disagree = warm & (med > cfg.gate_px)
+            reject = disagree & jnp.logical_not(force)
+            # Persistent disagreement (gate_max_consec consecutive rejects
+            # and the new frame STILL disagrees): the track is lost — a
+            # plain force-accept drops one good measurement into a diverged
+            # 12-frame window and LM snaps back to the bad consensus
+            # (measured on scale_run6 pose job 00000007: 720 mm off for all
+            # 24 frames). Instead RESET: re-seed the whole window from the
+            # current frame's closed-form POS pose, exactly the cold-start
+            # path, and let the track re-establish.
+            do_reset = disagree & force
             accept = jnp.where(reject, 0.0, 1.0).astype(self.dtype)
             consec = jnp.where(reject, carry.consec_rejects + 1, 0)
         valid = jnp.concatenate([carry.valid[1:], accept[None]])
+
+        if cfg.gate_px > 0.0:
+            seed = self.coarse_pose_from_keypoints(keypoints_px)
+            t = cfg.window
+            r = do_reset
+            window = WindowState(
+                rot=jnp.where(r, jnp.broadcast_to(seed.rot, (t, 3, 3)), window.rot),
+                trans=jnp.where(r, jnp.broadcast_to(seed.trans, (t, 3)), window.trans),
+                ang_vel=jnp.where(r, 0.0, window.ang_vel),
+                vel=jnp.where(r, 0.0, window.vel),
+            )
+            newest_only = jnp.zeros((t,), self.dtype).at[-1].set(1.0)
+            valid = jnp.where(r, newest_only, valid)
+            prior_rot = jnp.where(r, seed.rot, prior_rot)
+            prior_trans = jnp.where(r, seed.trans, prior_trans)
+            prior_w = jnp.where(r, 0.0, prior_w)
+            prior_v = jnp.where(r, 0.0, prior_v)
 
         window, _ = lm_solve(
             cfg,
@@ -203,7 +242,9 @@ class FixedLagSmoother:
             prior_trans=prior_trans,
             prior_ang_vel=prior_w,
             prior_vel=prior_v,
-            frames_seen=carry.frames_seen + 1,
+            # a reset re-warms the gate: predictions mean nothing until the
+            # re-seeded window has gate_min_frames real measurements again
+            frames_seen=jnp.where(do_reset, 1, carry.frames_seen + 1).astype(jnp.int32),
             consec_rejects=consec,
         )
         return new_carry, SE3(window.rot[-1], window.trans[-1])

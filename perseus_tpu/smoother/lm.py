@@ -95,14 +95,19 @@ class SmootherConfig:
     # the detector locking onto a cube-like distractor — shift ALL corners
     # coherently (~60-100 px measured on the round-5 pose trajectory, frames
     # 4-5/14-16), which per-corner robust kernels cannot reject: the median
-    # residual IS the outlier. A frame whose MEDIAN innovation (dynamics-
-    # predicted projection vs measurement, in pixels) exceeds gate_px is
-    # dropped from the graph (its valid weight is zeroed) and the window
-    # coasts on the dynamics factors. gate_max_consec force-accepts after
-    # that many consecutive rejections so a genuine track change re-acquires
-    # instead of being rejected forever; gate_min_frames suppresses the gate
-    # until the window has enough real measurements for the prediction to
-    # mean anything. gate_px=0 disables.
+    # residual IS the outlier. A frame whose MEDIAN innovation (predicted
+    # projection vs measurement, in pixels) exceeds gate_px against BOTH the
+    # dynamics prediction AND the last smoothed pose is dropped from the
+    # graph (its valid weight is zeroed) and the window coasts on the
+    # dynamics factors; agreeing with the last fit alone means the velocity
+    # state is bad, not the detection, so the frame is accepted. After
+    # gate_max_consec consecutive rejections a still-disagreeing frame
+    # triggers a TRACKER RESET — the window re-seeds from that frame's
+    # closed-form POS pose (the cold-start path) — so both a genuine track
+    # change and a lost track re-acquire instead of force-accepting one
+    # measurement into a diverged window. gate_min_frames suppresses the
+    # gate until the (re-)seeded window has enough real measurements for
+    # the prediction to mean anything. gate_px=0 disables.
     gate_px: float = 30.0
     gate_max_consec: int = 3
     gate_min_frames: int = 4
