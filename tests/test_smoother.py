@@ -452,3 +452,78 @@ def test_innovation_gate_force_accepts_after_consecutive_rejects():
     # re-converges onto the shifted track the gate stays quiet
     assert rejects[shift_at : shift_at + 4] == [1, 2, 3, 0], rejects
     assert all(r == 0 for r in rejects[shift_at + 6 :]), rejects
+
+
+def test_gate_reset_recovers_from_bad_cold_start():
+    """The scale_run6 pose job 00000007 failure: a corrupted FIRST frame
+    seeds the POS cold start far from the truth, after which the old gate
+    rejected every good detection (innovation vs the diverged prediction)
+    and the force-accept dropped single measurements into a diverged window
+    that LM snapped back to — lost for the whole trajectory. The tracker
+    reset (re-seed the window from the still-disagreeing frame's POS pose
+    after gate_max_consec rejects) must recover within a few frames."""
+    t_frames = 20
+    window = 6
+    k, corners, gt_poses, meas, twist = _simulate(t_frames, noise_px=0.2)
+    meas_np = np.asarray(meas).copy()
+    meas_np[0] += np.asarray([60.0, -45.0])  # corrupted first frame
+    meas_bad = jnp.asarray(meas_np)
+    cfg = SmootherConfig(
+        window=window, dt=DT, vel_frame="body", max_iterations=6,
+        sigma_prior_pose=1.0, sigma_prior_vel=10.0, gate_px=30.0, gate_max_consec=3,
+    )
+    smoother = FixedLagSmoother(cfg, k, corners, dtype=jnp.float64)
+    # cold start exactly like eval/pose_eval.py: POS pose of frame 0 —
+    # which here is the corrupted frame
+    carry = smoother.init(smoother.coarse_pose_from_keypoints(meas_bad[0]))
+    update = jax.jit(smoother.update)
+    errs = []
+    for i in range(t_frames):
+        carry, pose = update(carry, meas_bad[i])
+        errs.append(float(jnp.linalg.norm(lie.se3_log(lie.se3_between(pose, gt_poses[i])))))
+    # recovered well before the fixed-lag warmup (= window frames) ends,
+    # and stays locked for the rest of the stream
+    assert max(errs[window:]) < 5e-2, errs
+
+
+def test_gate_accepts_via_last_pose_when_velocity_contaminated():
+    """The scale_run6 pose job 00000000 limit cycle: with contaminated
+    VELOCITY state the dynamics coast flies away, so a prediction-only gate
+    rejects perfect detections 3-at-a-time forever. The dual-reference gate
+    must accept a frame that agrees with the last smoothed pose even when
+    it disagrees with the dynamics prediction."""
+    t_frames = 14
+    window = 6
+    k, corners, gt_poses, meas, twist = _simulate(t_frames, noise_px=0.2)
+    cfg = SmootherConfig(
+        window=window, dt=DT, vel_frame="body", max_iterations=6,
+        sigma_prior_pose=1.0, sigma_prior_vel=10.0, gate_px=30.0, gate_max_consec=3,
+    )
+    smoother = FixedLagSmoother(cfg, k, corners, dtype=jnp.float64)
+    carry = smoother.init(initial_pose=gt_poses[0])
+    update = jax.jit(smoother.update)
+    errs, rejects = [], []
+    for i in range(t_frames):
+        if i == 9:
+            # inject gross velocity contamination mid-track: the next
+            # dynamics prediction lands far from the measurement
+            # dt * vel error of 0.1 units lateral at z ~ 0.35 shifts the
+            # predicted projections ~60+ px — far beyond gate_px=30
+            carry = carry._replace(
+                window=carry.window._replace(
+                    ang_vel=carry.window.ang_vel + 2.0,
+                    vel=carry.window.vel + jnp.asarray([1.0, -1.0, 0.0]),
+                )
+            )
+        carry, pose = update(carry, meas[i])
+        errs.append(float(jnp.linalg.norm(lie.se3_log(lie.se3_between(pose, gt_poses[i])))))
+        rejects.append(int(carry.consec_rejects))
+    # the good measurement right after contamination is ACCEPTED (agrees
+    # with the last smoothed pose), no reject streak starts, and the
+    # window re-fits through the bad velocities
+    assert rejects[9] == 0, rejects
+    assert errs[9] < 0.1, errs
+    # the gross +30 rad/s contamination takes ~3 accepted frames to flush
+    # out of the window; what matters is no reject streak ever starts
+    assert all(r == 0 for r in rejects), rejects
+    assert max(errs[12:]) < 5e-2, errs
